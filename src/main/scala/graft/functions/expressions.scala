@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom catalyst expressions for the host/URL kernels. All are
+  * codegen-participating (no CodegenFallback) so they stay inside
+  * whole-stage-codegen spans on the extraction hot path.
+  */
+
+/** `reverse_host(host)` — `www.example.com` ⇄ `com.example.www` with the
+  * reference's exact Java `split` semantics (`HostToDomainGraph.java:320-328`).
+  */
+case class ReverseHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = HostStr.reverseHostU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HostStr.reverseHostU($c)")
+  override protected def withNewChildInternal(c: Expression): ReverseHost = copy(child = c)
+  override def prettyName: String = "reverse_host"
+}
+
+/** `strip_www(host)` — drop a leading `www.` iff ≥2 labels remain
+  * (`HostToDomainGraph.java:358-364`; `www.com` kept).
+  */
+case class StripWww(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = HostStr.stripWwwU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HostStr.stripWwwU($c)")
+  override protected def withNewChildInternal(c: Expression): StripWww = copy(child = c)
+  override def prettyName: String = "strip_www"
+}
+
+/** `registered_domain(host)` — strict public-suffix-list assignment exactly as
+  * `EffectiveTldFinder.getAssignedDomain(host, true, icannOnly)`
+  * (`HostToDomainGraph.java:366-377`). Null when the host has no assigned
+  * domain (caller drops the vertex / maps id → -1). With
+  * `multiPartSuffixesAsDomains`, unassignable hosts become their own domain.
+  */
+case class RegisteredDomain(child: Expression,
+                            privateDomains: Boolean,
+                            multiPartSuffixesAsDomains: Boolean,
+                            psl: PublicSuffixList)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HostStr.registeredDomainU(v.asInstanceOf[UTF8String], psl, !privateDomains, multiPartSuffixesAsDomains)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pslRef = ctx.addReferenceObj("psl", psl, classOf[PublicSuffixList].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HostStr.registeredDomainU($c, $pslRef, ${!privateDomains}, $multiPartSuffixesAsDomains);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): RegisteredDomain = copy(child = c)
+  override def prettyName: String = "registered_domain"
+}
+
+/** `surt(url)` — SURT canonical key of an absolute http(s) URL; null when
+  * unparseable. See HostStr.surt for the canonical form.
+  */
+case class SurtKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = HostStr.surtU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HostStr.surtU($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): SurtKey = copy(child = c)
+  override def prettyName: String = "surt"
+}
+
+/** `url_host(url)` — validated lowercase host of an absolute http(s) URL, or
+  * null (covers B11 host validation from SURVEY.md §2).
+  */
+case class UrlHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = HostStr.urlHostU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HostStr.urlHostU($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): UrlHost = copy(child = c)
+  override def prettyName: String = "url_host"
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.gf
-import graft.operators.{DenseIds, DomainGraph, HostGraph}
+import graft.operators.{ConnectedComponents, DenseIds, DomainGraph, Explore, HarmonicCentrality, HostGraph, PageRank, PreferenceVector, Ranking}
 import graft.sources.SynthDocs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,7 +39,33 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Deterministic derived graph over `nation` (25 nodes) used by the graph
+    * operator queries; the oracle SQL reconstructs the same edges.
+    * Chain within each group of 5 (`n → n-1` unless n%5==0) + region star.
+    */
+  private def nationGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val nation = s.read.parquet(t(dir, "nation"))
+    val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
+    val chain = nation.filter(col("n_nationkey") % 5 =!= 0)
+      .select(col("n_nationkey").cast("long").as("from_id"),
+              (col("n_nationkey") - 1).cast("long").as("to_id"))
+    val star = nation
+      .select(col("n_nationkey").cast("long").as("from_id"),
+              (col("n_regionkey") * 5).cast("long").as("to_id"))
+      .filter(col("from_id") =!= col("to_id"))
+    (nodes, chain.union(star).distinct())
+  }
+
+  /** Derived supplier→part edge list (distinct) for degree queries. */
+  private def lineitemEdges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "lineitem"))
+      .select(col("l_suppkey").cast("long").as("from_id"),
+              col("l_partkey").cast("long").as("to_id"))
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ graphQueries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1-style hash aggregation with partial agg (TPC-H Q1 shape)
     "q_agg" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
@@ -97,6 +123,130 @@ object SparkEntry {
     })
   )
 
+  private def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D8: out-degrees over a distinct edge list
+    "q_degrees" -> ((s, dir) => {
+      Ranking.outDegrees(lineitemEdges(s, dir)).orderBy("id")
+    }),
+    // D9: degree distribution
+    "q_degree_dist" -> ((s, dir) => {
+      Ranking.degreeDistribution(
+        Ranking.outDegrees(lineitemEdges(s, dir)), "outdeg")
+    }),
+    // E1/C2: rank assignment by (value desc, id asc) + rank join
+    "q_rank_join" -> ((s, dir) => {
+      val sup = s.read.parquet(t(dir, "supplier"))
+      val vertices = sup.select(col("s_suppkey").cast("long").as("id"),
+                                lower(col("s_name")).as("rev_name"))
+      val scores = sup.select(col("s_suppkey").cast("long").as("id"),
+                              col("s_acctbal").as("hc_val"),
+                              (col("s_acctbal") % 97).as("pr_val"))
+      Ranking.joinRanks(vertices, scores)
+        .select(col("hc_rank"), col("pr_rank"), col("rev_name"))
+    }),
+    // F2: PageRank, 3 fixed power iterations (oracle = chained CTEs)
+    "q_pagerank" -> ((s, dir) => {
+      val (nodes, edges) = nationGraph(s, dir)
+      PageRank.runFixed(nodes, edges, iterations = 3)
+        .select(col("id"), round(col("pr_val"), 6).as("pr_val"))
+        .orderBy("id")
+    }),
+    // F4: weak connected components to fixpoint (closed-form oracle)
+    "q_components" -> ((s, dir) => {
+      val nation = s.read.parquet(t(dir, "nation"))
+      val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
+      val chain = nation.filter(col("n_nationkey") % 5 =!= 0)
+        .select(col("n_nationkey").cast("long").as("from_id"),
+                (col("n_nationkey") - 1).cast("long").as("to_id"))
+      ConnectedComponents.weak(nodes, chain).orderBy("id")
+    }),
+    // F3: exact harmonic centrality (closed-form oracle on the chain graph)
+    "q_harmonic" -> ((s, dir) => {
+      val nation = s.read.parquet(t(dir, "nation"))
+      val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
+      val chain = nation.filter(col("n_nationkey") % 5 =!= 0)
+        .select(col("n_nationkey").cast("long").as("from_id"),
+                (col("n_nationkey") - 1).cast("long").as("to_id"))
+      HarmonicCentrality.exact(nodes, chain)
+        .select(col("id"), round(col("hc_val"), 5).as("hc_val"))
+        .orderBy("id")
+    }),
+    // C4: full-outer join of two rank files, '---' fill
+    "q_full_outer" -> ((s, dir) => {
+      val sup = s.read.parquet(t(dir, "supplier"))
+      val a = sup.filter(col("s_acctbal") > 0)
+        .select(lower(col("s_name")).as("name"), col("s_suppkey").cast("string").as("hc"))
+      val b = sup.filter(col("s_suppkey") % 2 === 0)
+        .select(lower(col("s_name")).as("name"), col("s_suppkey").cast("string").as("pr"))
+      a.join(b, Seq("name"), "full_outer")
+        .select(col("name"), coalesce(col("hc"), lit("---")).as("hc"),
+                coalesce(col("pr"), lit("---")).as("pr"))
+        .orderBy("name")
+    }),
+    // C3/D12: preference vector semi-join with defaults
+    "q_pref_vector" -> ((s, dir) => {
+      val cust = s.read.parquet(t(dir, "customer"))
+      val vertices = cust.select(col("c_custkey").cast("long").as("id"),
+                                 lower(col("c_name")).as("rev_name"))
+      val prefSet = cust.filter(col("c_nationkey") === 5)
+        .select(lower(col("c_name")).as("rev_name"))
+      PreferenceVector.create(vertices, prefSet)
+        .select(col("id"), round(col("pref"), 9).as("pref"))
+    }),
+    // D5/B10: TLD frequency of derived hosts
+    "q_tld_counts" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val host = concat(col("source"),
+        when(col("doc_id") % 3 === 0, lit(".com"))
+          .when(col("doc_id") % 3 === 1, lit(".org"))
+          .otherwise(lit(".net")))
+      docs.select(gf.tld(gf.reverse_host(host)).as("tld"))
+        .groupBy("tld").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tld"))
+    }),
+    // C6: intersection as left-semi join
+    "q_intersect" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer")).select(col("c_custkey").cast("long").as("id"))
+      val o = s.read.parquet(t(dir, "orders")).select(col("o_custkey").cast("long").as("id"))
+      Explore.intersect(c, o)
+    }),
+    // C7: difference as left-anti join
+    "q_difference" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer")).select(col("c_custkey").cast("long").as("id"))
+      val o = s.read.parquet(t(dir, "orders")).select(col("o_custkey").cast("long").as("id"))
+      Explore.difference(c, o)
+    }),
+    // D7: shared successors k-of-n
+    "q_shared_succ" -> ((s, dir) => {
+      Explore.sharedSuccessors(lineitemEdges(s, dir), Seq(1L, 2L, 3L, 4L),
+        minShared = 2, maxShared = 4)
+    }),
+    // A8: adjacency lists (sorted successor arrays, string-encoded)
+    "q_adjacency" -> ((s, dir) => {
+      Explore.adjacency(lineitemEdges(s, dir).filter(col("from_id") <= 20))
+        .select(col("id"), concat_ws(",", col("successors")).as("successors"))
+        .orderBy("id")
+    }),
+    // E4/B6: global numeric edge sort + dedup
+    "q_sorted_edges" -> ((s, dir) => {
+      lineitemEdges(s, dir).orderBy("from_id", "to_id").limit(1000)
+    }),
+    // D11: subgraph metrics for a member set
+    "q_subgraph" -> ((s, dir) => {
+      val members = s.range(50).select(col("id"))
+      Explore.subgraphMetrics(lineitemEdges(s, dir), members)
+    }),
+    // D10/F4: component size distribution
+    "q_cc_sizes" -> ((s, dir) => {
+      val nation = s.read.parquet(t(dir, "nation"))
+      val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
+      val chain = nation.filter(col("n_nationkey") % 5 =!= 0)
+        .select(col("n_nationkey").cast("long").as("from_id"),
+                (col("n_nationkey") - 1).cast("long").as("to_id"))
+      ConnectedComponents.sizes(ConnectedComponents.weak(nodes, chain))
+    })
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -124,6 +274,120 @@ object SparkEntry {
     "q_dense_ids" ->
       """SELECT row_number() OVER (ORDER BY name) - 1 AS id, name
         |FROM (SELECT DISTINCT lower(c_name) AS name FROM customer)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    "q_degrees" ->
+      """SELECT from_id AS id, count(*) AS outdeg
+        |FROM (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_degree_dist" ->
+      """SELECT outdeg AS degree, count(*) AS n_nodes FROM (
+        |  SELECT from_id, count(*) AS outdeg
+        |  FROM (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id FROM lineitem)
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rank_join" ->
+      """WITH s AS (SELECT s_suppkey AS id, lower(s_name) AS rev_name,
+        |                  s_acctbal AS hc_val, s_acctbal % 97 AS pr_val FROM supplier)
+        |SELECT row_number() OVER (ORDER BY hc_val DESC, id ASC) AS hc_rank,
+        |       row_number() OVER (ORDER BY pr_val DESC, id ASC) AS pr_rank,
+        |       rev_name
+        |FROM s ORDER BY hc_rank""".stripMargin,
+    "q_pagerank" ->
+      """WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+        |cnt AS (SELECT count(*) AS n FROM nodes),
+        |edges AS (SELECT DISTINCT from_id, to_id FROM (
+        |    SELECT CAST(n_nationkey AS BIGINT) AS from_id,
+        |           CAST(n_nationkey - 1 AS BIGINT) AS to_id
+        |    FROM nation WHERE n_nationkey % 5 <> 0
+        |    UNION ALL
+        |    SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey * 5 AS BIGINT)
+        |    FROM nation) WHERE from_id <> to_id),
+        |deg AS (SELECT from_id, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM cnt) AS pr FROM nodes),
+        |r1 AS (SELECT n.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM cnt)
+        |         + 0.85 * coalesce(sum(r.pr / d.outdeg), 0) AS pr
+        |       FROM nodes n LEFT JOIN edges e ON e.to_id = n.id
+        |       LEFT JOIN r0 r ON r.id = e.from_id
+        |       LEFT JOIN deg d ON d.from_id = e.from_id GROUP BY n.id),
+        |r2 AS (SELECT n.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM cnt)
+        |         + 0.85 * coalesce(sum(r.pr / d.outdeg), 0) AS pr
+        |       FROM nodes n LEFT JOIN edges e ON e.to_id = n.id
+        |       LEFT JOIN r1 r ON r.id = e.from_id
+        |       LEFT JOIN deg d ON d.from_id = e.from_id GROUP BY n.id),
+        |r3 AS (SELECT n.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM cnt)
+        |         + 0.85 * coalesce(sum(r.pr / d.outdeg), 0) AS pr
+        |       FROM nodes n LEFT JOIN edges e ON e.to_id = n.id
+        |       LEFT JOIN r2 r ON r.id = e.from_id
+        |       LEFT JOIN deg d ON d.from_id = e.from_id GROUP BY n.id)
+        |SELECT id, round(pr, 6) AS pr_val FROM r3 ORDER BY id""".stripMargin,
+    "q_components" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component
+        |FROM nation ORDER BY 1""".stripMargin,
+    "q_harmonic" ->
+      """SELECT CAST(v.n_nationkey AS BIGINT) AS id,
+        |  round(coalesce(sum(CAST(1 AS DOUBLE) / (u.n_nationkey - v.n_nationkey)), 0), 5) AS hc_val
+        |FROM nation v LEFT JOIN nation u
+        |  ON u.n_nationkey > v.n_nationkey
+        | AND u.n_nationkey - u.n_nationkey % 5 = v.n_nationkey - v.n_nationkey % 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer" ->
+      """WITH a AS (SELECT lower(s_name) AS name, CAST(s_suppkey AS VARCHAR) AS hc
+        |           FROM supplier WHERE s_acctbal > 0),
+        |     b AS (SELECT lower(s_name) AS name, CAST(s_suppkey AS VARCHAR) AS pr
+        |           FROM supplier WHERE s_suppkey % 2 = 0)
+        |SELECT coalesce(a.name, b.name) AS name,
+        |       coalesce(hc, '---') AS hc, coalesce(pr, '---') AS pr
+        |FROM a FULL OUTER JOIN b ON a.name = b.name ORDER BY 1""".stripMargin,
+    "q_pref_vector" ->
+      """SELECT c_custkey AS id,
+        |  round(CASE WHEN c_nationkey = 5
+        |    THEN CAST(1 AS DOUBLE) / (SELECT count(*) FROM customer WHERE c_nationkey = 5)
+        |    ELSE 0 END, 9) AS pref
+        |FROM customer ORDER BY id""".stripMargin,
+    "q_tld_counts" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |            WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END AS tld,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY cnt DESC, tld ASC""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS id FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q_difference" ->
+      """SELECT c_custkey AS id FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q_shared_succ" ->
+      """SELECT to_id AS id, count(*) AS n_shared
+        |FROM (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id
+        |      FROM lineitem WHERE l_suppkey IN (1, 2, 3, 4))
+        |GROUP BY 1 HAVING count(*) BETWEEN 2 AND 4 ORDER BY 1""".stripMargin,
+    "q_adjacency" ->
+      """SELECT from_id AS id, array_to_string(list(to_id ORDER BY to_id), ',') AS successors
+        |FROM (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id
+        |      FROM lineitem WHERE l_suppkey <= 20)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sorted_edges" ->
+      """SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id FROM lineitem
+        |ORDER BY 1, 2 LIMIT 1000""".stripMargin,
+    "q_subgraph" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id FROM lineitem),
+        |t AS (SELECT from_id, to_id,
+        |        CASE WHEN from_id BETWEEN 0 AND 49 THEN 1 ELSE 0 END AS from_in,
+        |        CASE WHEN to_id BETWEEN 0 AND 49 THEN 1 ELSE 0 END AS to_in FROM e)
+        |SELECT CAST(50 AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN from_in = 1 AND to_in = 1 THEN 1 ELSE 0 END) AS BIGINT) AS arcs_inside,
+        |  CAST(sum(CASE WHEN from_in = 1 AND to_in = 0 THEN 1 ELSE 0 END) AS BIGINT) AS arcs_out,
+        |  CAST(sum(CASE WHEN from_in = 0 AND to_in = 1 THEN 1 ELSE 0 END) AS BIGINT) AS arcs_in,
+        |  CAST(count(DISTINCT CASE WHEN from_in = 1 AND to_in = 0 THEN to_id END) AS BIGINT) AS outer_linked,
+        |  CAST(count(DISTINCT CASE WHEN from_in = 0 AND to_in = 1 THEN from_id END) AS BIGINT) AS outer_linking,
+        |  round(sum(CASE WHEN from_in = 1 AND to_in = 1 THEN 1 ELSE 0 END) / CAST(50 AS DOUBLE), 6) AS avg_degree
+        |FROM t""".stripMargin,
+    "q_cc_sizes" ->
+      """SELECT row_number() OVER (ORDER BY size DESC, component ASC) - 1 AS component_rank, size
+        |FROM (SELECT CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component,
+        |             count(*) AS size FROM nation GROUP BY 1)
+        |ORDER BY component_rank""".stripMargin
   )
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank as an iterative DataFrame loop — the capability the reference
+  * delegates to LAW's `PageRankParallelGaussSeidel` on the transpose
+  * (`process_webgraph.sh:259-265`), with optional preference vector
+  * (`CreatePreferenceVector.java:21-25`).
+  *
+  * Gauss-Seidel ordering is an in-memory convergence optimization, not an
+  * output contract — the fixed point is the same; we run Jacobi power
+  * iteration, which is the distributable form.
+  *
+  * Dangling-node mass is redistributed according to the preference vector
+  * (uniform when none), matching LAW's strongly-preferential semantics.
+  */
+object PageRank {
+
+  /** @param vertices (id)           — all node ids
+    * @param edges    (from_id, to_id)
+    * @param preference optional (id, pref) summing to 1; uniform when None
+    * @param alpha    damping (reference default 0.85)
+    * @return (id, pr_val: double)
+    */
+  def run(vertices: DataFrame, edges: DataFrame,
+          preference: Option[DataFrame] = None,
+          alpha: Double = 0.85, maxIter: Int = 30, tol: Double = 1e-9): DataFrame = {
+    val spark = vertices.sparkSession
+    val n = vertices.count()
+    if (n == 0) return vertices.select(col("id"), lit(0.0).as("pr_val"))
+
+    // degree-annotated edges, reused every iteration: cache once
+    val outDeg = edges.groupBy("from_id").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outDeg, "from_id")
+      .select(col("from_id"), col("to_id"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesDeg.count()
+
+    val pref = preference
+      .getOrElse(vertices.select(col("id"), lit(1.0 / n).as("pref")))
+      .select(col("id"), col("pref"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pref.count()
+
+    // localCheckpoint truncates lineage each iteration — without it the
+    // logical plan grows linearly and explain/AQE replanning OOMs
+    var ranks = vertices.select(col("id"), lit(1.0 / n).as("pr_val"))
+      .localCheckpoint()
+
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta > tol) {
+      // mass flowing along arcs
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("from_id") === ranks("id"))
+        .groupBy(col("to_id").as("id"))
+        .agg(sum(col("pr_val") / col("outdeg")).as("in_mass"))
+      // dangling mass (nodes with no out-arcs) redistributed by preference
+      val danglingMass = ranks
+        .join(outDeg, ranks("id") === outDeg("from_id"), "left_anti")
+        .agg(coalesce(sum("pr_val"), lit(0.0))).first().getDouble(0)
+      val newRanks = pref
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          ((lit(1.0 - alpha) + lit(alpha * danglingMass)) * col("pref") +
+            lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
+        .localCheckpoint()
+      delta = newRanks.join(ranks.withColumnRenamed("pr_val", "old"), "id")
+        .agg(sum(abs(col("pr_val") - col("old")))).first().getDouble(0)
+      ranks = newRanks
+      iter += 1
+    }
+    edgesDeg.unpersist()
+    pref.unpersist()
+    ranks
+  }
+
+  /** Fixed-iteration variant with no convergence check — one job per
+    * iteration, no extra delta pass. Used by the oracle-checked query (the
+    * DuckDB oracle chains the same k steps as CTEs).
+    */
+  def runFixed(vertices: DataFrame, edges: DataFrame, iterations: Int,
+               alpha: Double = 0.85): DataFrame = {
+    val n = vertices.count()
+    val outDeg = edges.groupBy("from_id").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outDeg, "from_id")
+      .select(col("from_id"), col("to_id"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.select(col("id"), lit(1.0 / n).as("pr_val"))
+    (1 to iterations).foreach { _ =>
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("from_id") === ranks("id"))
+        .groupBy(col("to_id").as("id"))
+        .agg(sum(col("pr_val") / col("outdeg")).as("in_mass"))
+      ranks = vertices.select(col("id"))
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit((1.0 - alpha) / n) +
+            lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
+    }
+    ranks
+  }
+}

@@ -236,6 +236,34 @@ object SparkEntry {
       val members = s.range(50).select(col("id"))
       Explore.subgraphMetrics(lineitemEdges(s, dir), members)
     }),
+    // I: SURT canonicalization custom expression (north_star)
+    "q_surt" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(gf.surt(concat(lit("https://www."), col("source"), lit(".com/p/"),
+          col("doc_id"), lit("?b=2&a=1"))).as("surt_key"))
+        .groupBy("surt_key").agg(count(lit(1)).as("cnt"))
+        .orderBy("surt_key")
+    }),
+    // North-rule core: 3 frontier rounds over a synthetic corpus — exact
+    // crawl order (round, seq, url). Not SQL-expressible (stateful rounds);
+    // correctness is pinned by FrontierSpec's sequential oracle.
+    "q_frontier_log" -> ((s, dir) => {
+      import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
+      import graft.sources.SynthDocs
+      val root = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+      val c = Frontier.Config(root, defaultTokens = 2, saltBuckets = 4,
+        seenCfg = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 14, numHashes = 5))
+      val docs = SynthDocs.docs(s, 400, 30).toDF()
+      val fetcher = new CorpusFetcher(docs)
+      val priorities = Frontier.hostPriorities(docs).localCheckpoint()
+      val budgets = SynthDocs.politeness(s, 30)
+        .select(gf.reverse_host(col("host")).as("rev_host"), col("tokens_per_round"))
+      val robots = s.emptyDataFrame
+        .selectExpr("'' as rev_host", "array('') as disallow_prefixes").limit(0)
+      Frontier.init(s, c, SynthDocs.seeds(s, 8, 30), priorities, robots)
+      Frontier.run(s, c, fetcher, 3, budgets, robots, priorities)
+      Frontier.fetchLog(s, c)
+    }),
     // D10/F4: component size distribution
     "q_cc_sizes" -> ((s, dir) => {
       val nation = s.read.parquet(t(dir, "nation"))
@@ -384,6 +412,10 @@ object SparkEntry {
         |  CAST(count(DISTINCT CASE WHEN from_in = 0 AND to_in = 1 THEN from_id END) AS BIGINT) AS outer_linking,
         |  round(sum(CASE WHEN from_in = 1 AND to_in = 1 THEN 1 ELSE 0 END) / CAST(50 AS DOUBLE), 6) AS avg_degree
         |FROM t""".stripMargin,
+    "q_surt" ->
+      """SELECT 'com,' || source || ',www)/p/' || doc_id || '?a=1&b=2' AS surt_key,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cc_sizes" ->
       """SELECT row_number() OVER (ORDER BY size DESC, component ASC) - 1 AS component_rank, size
         |FROM (SELECT CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component,

@@ -1,0 +1,283 @@
+package graft.frontier
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.Properties
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+import graft.operators.{HarmonicCentrality, HostGraph, Ranks}
+import graft.sources.TableIO
+
+import scala.jdk.CollectionConverters._
+
+/** How fetched URLs yield outlinks. Production would be an HTTP fetch stage;
+  * the sandbox resolves against the docs corpus (doc_id IS the doc's URL).
+  */
+trait Fetcher extends Serializable {
+  /** @param selected (key, url, …) — the fetch batch
+    * @return (key, outlink) — raw outlink URLs of each fetched page
+    */
+  def fetch(selected: DataFrame): DataFrame
+}
+
+/** Closed-world fetcher over the interleaved-docs table. */
+class CorpusFetcher(docs: DataFrame) extends Fetcher {
+  /** (key = surt(doc url), outlink) pairs, precomputed once. */
+  val pairs: DataFrame = {
+    val spans = docs.select(col("doc_id"), explode(col("spans")).as("span"))
+    spans.select(
+        gf.surt(col("doc_id")).as("key"),
+        explode(
+          when(col("span.kind") === "text", gf.extract_urls(col("span.text")))
+            .otherwise(array(col("span.media_ref")))).as("outlink"))
+      .filter(col("key").isNotNull && col("outlink").isNotNull)
+      .distinct()
+      .persist()
+  }
+  override def fetch(selected: DataFrame): DataFrame =
+    pairs.join(selected.select("key").distinct(), Seq("key"), "left_semi")
+}
+
+/** The crawl frontier + fetch scheduler (north_rule core).
+  *
+  * Per round, entirely as declarative plans:
+  *  1. per-host politeness selection from the pending set: token-bucket
+  *     top-k by (priority desc, url) with SALTED two-phase windows so a hot
+  *     host never lands in one task (north_rule "hot-host skew handled via
+  *     salted repartitioning"; AQE skew-join handles the joins);
+  *  2. deterministic total crawl order: seq = global row_number over
+  *     (priority desc, rev_host, url) appended to the fetch log;
+  *  3. fetch → SURT-canonicalize outlinks → robots filter at enqueue →
+  *     seen-set anti-join (Bloom-pruned) → enqueue survivors with
+  *     harmonic-centrality host priority;
+  *  4. commit: new snapshots of (seen, pending, log) + an atomic round
+  *     marker recording the snapshot ids and counters. Resume pins to the
+  *     LAST marker's ids — a kill anywhere mid-round replays the round
+  *     byte-identically (reference H1/H2, `workflow_lib.sh:10-40`).
+  *
+  * Every ordering has a full tie-break, so the fetch log and seen set are
+  * pure functions of (seeds, corpus, budgets, robots, priorities) —
+  * independent of cluster size and partitioning (the N-vs-4N criterion).
+  */
+object Frontier {
+
+  final case class Config(
+      rootDir: String,
+      defaultTokens: Int = 2,
+      saltBuckets: Int = 16,
+      seenCfg: UrlSeen.Config = UrlSeen.Config(buckets = 16, bitsPerBucket = 1 << 16),
+      useBloom: Boolean = true)
+
+  final case class State(round: Int, seen: Long, pending: Long, log: Long,
+                         logRows: Long)
+
+  private def seenDir(c: Config) = s"${c.rootDir}/seen"
+  private def pendingDir(c: Config) = s"${c.rootDir}/pending"
+  private def logDir(c: Config) = s"${c.rootDir}/fetch_log"
+  private def markerPath(c: Config, round: Int) = new Path(s"${c.rootDir}/markers/round-$round")
+
+  private def fs(spark: SparkSession, c: Config): FileSystem =
+    new Path(c.rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- markers: the per-round commit record (snapshot ids + counters) ----
+
+  private def writeMarker(spark: SparkSession, c: Config, st: State,
+                          counters: Map[String, Long]): Unit = {
+    val f = fs(spark, c)
+    val props = new Properties()
+    props.setProperty("round", st.round.toString)
+    props.setProperty("seen", st.seen.toString)
+    props.setProperty("pending", st.pending.toString)
+    props.setProperty("log", st.log.toString)
+    props.setProperty("logRows", st.logRows.toString)
+    counters.foreach { case (k, v) => props.setProperty(s"counter.$k", v.toString) }
+    val p = markerPath(c, st.round)
+    val tmp = new Path(p.toString + ".tmp")
+    f.mkdirs(p.getParent)
+    val out = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
+    try props.store(out, null) finally out.close()
+    f.delete(p, false)
+    f.rename(tmp, p) // atomic commit of the round
+  }
+
+  private def readMarker(spark: SparkSession, c: Config, round: Int): Option[State] = {
+    val f = fs(spark, c)
+    val p = markerPath(c, round)
+    if (!f.exists(p)) return None
+    val in = new BufferedReader(new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try {
+      val props = new Properties()
+      props.load(in)
+      Some(State(props.getProperty("round").toInt, props.getProperty("seen").toLong,
+        props.getProperty("pending").toLong, props.getProperty("log").toLong,
+        props.getProperty("logRows").toLong))
+    } finally in.close()
+  }
+
+  /** State pinned by a specific round's marker (round -1 = init). */
+  def lastCommittedAt(spark: SparkSession, c: Config, round: Int): Option[State] =
+    readMarker(spark, c, round)
+
+  /** Highest committed round marker (-1 = just initialized). */
+  def lastCommitted(spark: SparkSession, c: Config): Option[State] = {
+    var r = -1
+    var last: Option[State] = None
+    var cur = readMarker(spark, c, r)
+    while (cur.isDefined) { last = cur; r += 1; cur = readMarker(spark, c, r) }
+    last
+  }
+
+  /** Host priority table (rev_host, priority) = harmonic centrality of the
+    * corpus host graph — "harmonic-centrality-style priority like
+    * cc-webgraph's ranking" (north_star). Exact mode for small corpora,
+    * HyperBall above `exactThreshold` hosts.
+    */
+  def hostPriorities(docs: DataFrame, exactThreshold: Long = 10000): DataFrame = {
+    val links = HostGraph.hostLinks(docs)
+    val (vertices, edges) = HostGraph.build(links)
+    val nHosts = vertices.count()
+    val hc =
+      if (nHosts <= exactThreshold) HarmonicCentrality.exact(vertices.select("id"), edges)
+      else HarmonicCentrality.hyperball(vertices.select("id"), edges)
+        .select(col("id"), col("hc_val").cast("double").as("hc_val"))
+    vertices.join(hc, "id")
+      .select(col("rev_name").as("rev_host"), col("hc_val").as("priority"))
+  }
+
+  /** Canonicalize raw URLs into frontier rows:
+    * (key = surt, url = min original per key, rev_host, priority).
+    */
+  private def canonicalize(urls: DataFrame, priorities: DataFrame): DataFrame = {
+    urls
+      .select(col("url"), gf.surt(col("url")).as("key"),
+              gf.reverse_host(gf.url_host(col("url"))).as("rev_host"))
+      .filter(col("key").isNotNull && col("rev_host").isNotNull)
+      .groupBy("key")
+      .agg(min("url").as("url"), first("rev_host").as("rev_host"))
+      .join(priorities, Seq("rev_host"), "left_outer")
+      .select(col("key"), col("url"), col("rev_host"),
+              coalesce(col("priority"), lit(0.0)).as("priority"))
+  }
+
+  /** Robots filter AT ENQUEUE (disallowed URLs never enter the frontier, so
+    * the pending set can't silt up with unfetchable rows).
+    * robots: (rev_host, disallow_prefixes array<string>) — path prefixes.
+    */
+  private def robotsFilter(rows: DataFrame, robots: DataFrame): DataFrame = {
+    val withPath = rows.withColumn("__path",
+      when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", lit("/"))
+        .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
+    withPath
+      .join(robots, Seq("rev_host"), "left_outer")
+      .filter(col("disallow_prefixes").isNull ||
+        !exists(col("disallow_prefixes"), p => col("__path").startsWith(p)))
+      .drop("__path", "disallow_prefixes")
+  }
+
+  /** Initialize frontier state from a seed list. Idempotent (skips if the
+    * init marker exists).
+    */
+  def init(spark: SparkSession, c: Config, seeds: DataFrame,
+           priorities: DataFrame, robots: DataFrame): Unit = {
+    if (readMarker(spark, c, -1).isDefined) return
+    val rows = robotsFilter(canonicalize(seeds.select(col("url")), priorities), robots)
+    val pend = rows.select("key", "url", "rev_host", "priority")
+    val nSeeds = pend.count()
+    UrlSeen.create(spark, seenDir(c), c.seenCfg)
+    UrlSeen.append(spark, seenDir(c), pend.select("key"), c.seenCfg, "init:seeds")
+    val pSnap = TableIO.write(pend, pendingDir(c), "init:seeds", Map("rows" -> nSeeds))
+    import spark.implicits._
+    val emptyLog = Seq.empty[(Int, Long, String)].toDF("round", "seq", "url")
+    val lSnap = TableIO.write(emptyLog, logDir(c), "init")
+    val seenSnap = TableIO.currentSnapshot(spark, seenDir(c)).get
+    writeMarker(spark, c, State(-1, seenSnap.id, pSnap.id, lSnap.id, 0L),
+      Map("seeds" -> nSeeds))
+  }
+
+  /** Run rounds [lastCommitted+1, rounds); each committed round is skipped on
+    * resume (idempotent steps — `workflow_lib.sh:16-23`).
+    */
+  def run(spark: SparkSession, c: Config, fetcher: Fetcher, rounds: Int,
+          budgets: DataFrame, robots: DataFrame, priorities: DataFrame): State = {
+    var st = lastCommitted(spark, c)
+      .getOrElse(throw new IllegalStateException("frontier not initialized"))
+    while (st.round + 1 < rounds) {
+      st = runRound(spark, c, st, fetcher, budgets, robots, priorities)
+    }
+    st
+  }
+
+  private def runRound(spark: SparkSession, c: Config, st: State, fetcher: Fetcher,
+                       budgets: DataFrame, robots: DataFrame,
+                       priorities: DataFrame): State = {
+    val round = st.round + 1
+    val pending = TableIO.readAt(spark, pendingDir(c), st.pending)
+
+    // ---- politeness selection: salted two-phase per-host token top-k ----
+    val withTokens = pending
+      .join(budgets, Seq("rev_host"), "left_outer")
+      .withColumn("tokens", coalesce(col("tokens_per_round"), lit(c.defaultTokens)))
+      .drop("tokens_per_round")
+    val salted = withTokens.withColumn("__salt",
+      pmod(xxhash64(col("url")), lit(c.saltBuckets.toLong)).cast("int"))
+    val w1 = Window.partitionBy("rev_host", "__salt")
+      .orderBy(col("priority").desc, col("url").asc)
+    val pre = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= col("tokens")).drop("__rn")
+    val w2 = Window.partitionBy("rev_host")
+      .orderBy(col("priority").desc, col("url").asc)
+    val selected = pre.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= col("tokens"))
+      .select("key", "url", "rev_host", "priority")
+      .localCheckpoint()
+    val nSelected = selected.count()
+
+    // ---- deterministic total crawl order ----
+    val logRows =
+      if (nSelected == 0) spark.emptyDataFrame.selectExpr("1 as round", "1L as seq", "'' as url").limit(0)
+      else Ranks.rowNumber(selected,
+          Seq(col("priority").desc, col("rev_host").asc, col("url").asc), "seq")
+        .select(lit(round).as("round"), (col("seq") + st.logRows).as("seq"), col("url"))
+
+    // ---- fetch + canonicalize + robots + dedup + enqueue ----
+    val outlinks = fetcher.fetch(selected).select(col("outlink").as("url"))
+    val candidates = robotsFilter(canonicalize(outlinks, priorities), robots)
+    val newRows = UrlSeen.unseen(spark, seenDir(c), candidates, c.seenCfg, c.useBloom,
+        atSnapshot = Some(st.seen))
+      .select("key", "url", "rev_host", "priority")
+      .localCheckpoint()
+    val nNew = newRows.count()
+
+    // ---- commit ----
+    val newPending = pending.join(selected.select("key"), Seq("key"), "left_anti")
+      .unionByName(newRows)
+    val pSnap = TableIO.write(newPending, pendingDir(c), s"round:$round:pending")
+    val seenSnap = UrlSeen.append(spark, seenDir(c), newRows.select("key"), c.seenCfg,
+      s"round:$round:seen", parentId = Some(st.seen))
+    val lSnap = TableIO.append(logRows, logDir(c), s"round:$round:log",
+      Map("rows" -> nSelected), parentId = Some(st.log))
+    val newState = State(round, seenSnap.id, pSnap.id, lSnap.id, st.logRows + nSelected)
+    writeMarker(spark, c, newState, Map(
+      "selected" -> nSelected, "new_urls" -> nNew))
+    newState
+  }
+
+  /** The committed fetch log at the last completed round. */
+  def fetchLog(spark: SparkSession, c: Config): DataFrame = {
+    val st = lastCommitted(spark, c).getOrElse(
+      throw new IllegalStateException("frontier not initialized"))
+    TableIO.readAt(spark, logDir(c), st.log).orderBy("seq")
+  }
+
+  /** The committed seen set (canonical keys) at the last completed round. */
+  def seenKeys(spark: SparkSession, c: Config): DataFrame = {
+    val st = lastCommitted(spark, c).getOrElse(
+      throw new IllegalStateException("frontier not initialized"))
+    TableIO.readAt(spark, seenDir(c), st.seen).select("key")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hll
+import graft.sources.TableIO
+
+/** The URL-seen set at 10^10 scale (north_rule: "bloom/cuckoo URL-seen").
+  *
+  * Two layers:
+  *  - GROUND TRUTH: an exact membership table of canonical URL keys,
+  *    hash-partitioned into `buckets` by `pmod(xxhash64(key), P)` — the
+  *    anti-join against it is bucket-co-partitioned, so each round's dedup
+  *    shuffles only the candidate side;
+  *  - PRUNE LAYER: one Bloom filter per bucket (built with a typed
+  *    Aggregator, persisted with the table, loaded as a broadcast map).
+  *    A candidate whose bits are not all set is DEFINITELY unseen and skips
+  *    the anti-join; "maybe seen" candidates fall through to the exact
+  *    anti-join, so Bloom false positives cannot corrupt correctness
+  *    (SURVEY.md §7.7).
+  */
+object UrlSeen {
+
+  /** Bloom parameters: `bitsPerKey`≈10 → ~1% FP with k=7. */
+  final case class Config(buckets: Int = 64, bitsPerBucket: Int = 1 << 22, numHashes: Int = 7)
+
+  def bucketOf(key: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+
+  // ---- bloom bit arithmetic (mirrors gf.bloom_hash double hashing) ----
+  private def setBit(bits: Array[Byte], pos: Long): Unit = {
+    val p = pos.toInt
+    bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte
+  }
+
+  private def getBit(bits: Array[Byte], pos: Long): Boolean = {
+    val p = pos.toInt
+    (bits(p >>> 3) & (1 << (p & 7))) != 0
+  }
+
+  def bloomAdd(bits: Array[Byte], keyHash: Long, k: Int): Unit = {
+    val m = bits.length.toLong * 8
+    val h1 = Hll.mix64(keyHash)
+    val h2 = Hll.mix64(keyHash ^ 0x9E3779B97F4A7C15L) | 1L
+    var i = 0
+    while (i < k) {
+      setBit(bits, java.lang.Long.remainderUnsigned(h1 + i * h2, m))
+      i += 1
+    }
+  }
+
+  def bloomMightContain(bits: Array[Byte], keyHash: Long, k: Int): Boolean = {
+    val m = bits.length.toLong * 8
+    val h1 = Hll.mix64(keyHash)
+    val h2 = Hll.mix64(keyHash ^ 0x9E3779B97F4A7C15L) | 1L
+    var i = 0
+    while (i < k) {
+      if (!getBit(bits, java.lang.Long.remainderUnsigned(h1 + i * h2, m))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Builds a bloom filter over xxhash64 key hashes. */
+  class BloomAgg(bits: Int, k: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](bits / 8)
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = { bloomAdd(b, h, k); b }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Create an empty seen table. Schema: (bucket int, key string). */
+  def create(spark: SparkSession, dir: String, cfg: Config = Config()): Unit = {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, String)].toDF("bucket", "key")
+    TableIO.write(empty, dir, lineage = "urlseen:create",
+      counters = Map("buckets" -> cfg.buckets.toLong))
+  }
+
+  /** Append canonical keys (pre-bucketed) and refresh the bloom sidecar for
+    * the touched buckets. `keys` must be deduplicated against the table
+    * already (the frontier loop guarantees it).
+    */
+  def append(spark: SparkSession, dir: String, keys: DataFrame,
+             cfg: Config = Config(), lineage: String = "",
+             parentId: Option[Long] = None): TableIO.Snapshot = {
+    val bucketed = keys.select(bucketOf(col("key"), cfg.buckets).as("bucket"), col("key"))
+      .repartition(col("bucket"))
+    val perBucket = bucketed.groupBy("bucket").count().collect()
+      .map(r => s"bucket.${r.getInt(0)}" -> r.getLong(1)).toMap
+    val snap = TableIO.append(bucketed, dir, lineage, perBucket, parentId)
+    refreshBloom(spark, dir, cfg)
+    snap
+  }
+
+  /** (Re)build the per-bucket bloom sidecar from the current table. One
+    * aggregation job; at 10^10 keys make it incremental by OR-merging the
+    * previous sidecar with a delta-only build (same Aggregator).
+    */
+  def refreshBloom(spark: SparkSession, dir: String, cfg: Config = Config()): Unit = {
+    val bloomAgg = F.udaf(new BloomAgg(cfg.bitsPerBucket, cfg.numHashes))
+    val blooms = TableIO.read(spark, dir)
+      .select(col("bucket"), xxhash64(col("key")).as("h"))
+      .groupBy("bucket").agg(bloomAgg(col("h")).as("bits"))
+    TableIO.write(blooms, s"$dir-bloom", lineage = "urlseen:bloom")
+  }
+
+  /** Candidates NOT in the seen set. Bloom-prunes the exact anti-join:
+    * definitely-unseen candidates bypass it entirely.
+    *
+    * @param candidates any schema containing `key`
+    */
+  def unseen(spark: SparkSession, dir: String, candidates: DataFrame,
+             cfg: Config = Config(), useBloom: Boolean = true,
+             atSnapshot: Option[Long] = None): DataFrame = {
+    // exact layer pinned to the marker's snapshot (crash-replay correctness);
+    // the bloom sidecar may be ahead of it — false "maybe seen" answers fall
+    // through to the pinned exact anti-join, so staleness cannot corrupt.
+    val seen = atSnapshot match {
+      case Some(id) => TableIO.readAt(spark, dir, id)
+      case None => TableIO.read(spark, dir)
+    }
+    val withBucket = candidates
+      .withColumn("bucket", bucketOf(col("key"), cfg.buckets))
+      .withColumn("__h", xxhash64(col("key")))
+    val pruned =
+      if (!useBloom) withBucket.withColumn("__maybe", lit(true))
+      else {
+        val bloomMap: Map[Int, Array[Byte]] =
+          TableIO.read(spark, s"$dir-bloom").collect()
+            .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        val bc = spark.sparkContext.broadcast(bloomMap)
+        val k = cfg.numHashes
+        val mightContain = F.udf((bucket: Int, h: Long) =>
+          bc.value.get(bucket).exists(bits => bloomMightContain(bits, h, k)))
+        withBucket.withColumn("__maybe", mightContain(col("bucket"), col("__h")))
+      }
+    val definitelyNew = pruned.filter(!col("__maybe"))
+    val checked = pruned.filter(col("__maybe"))
+      .join(seen, Seq("bucket", "key"), "left_anti")
+    definitelyNew.unionByName(checked).drop("__maybe", "__h", "bucket")
+  }
+}

@@ -48,6 +48,13 @@ object SynthDocs {
     lit("site"), idx, lit("."),
     element_at(typedLit(tlds), (pmod(idx, lit(tlds.size)) + 1).cast("int")))
 
+  /** The document URL of doc index `docId` — doc_id of the generated table.
+    * Public so seed lists and link targets can address real corpus docs.
+    */
+  def docUrl(docId: Column, nHosts: Int, seed: Long): Column =
+    concat(lit("https://"), hostName(hostIdx(nHosts, seed, docId, lit(1))),
+           lit("/page/"), docId)
+
   /** Generate the interleaved documents table.
     *
     * Schema: (doc_id string, spans array<struct<kind,text,media_ref,offset>>)
@@ -60,8 +67,7 @@ object SynthDocs {
     val base0 = spark.range(nDocs)
     val base = if (partitions > 0) base0.repartition(partitions) else base0
 
-    val selfIdx = hostIdx(nHosts, seed, $"id", lit(1))
-    val docUrl = concat(lit("https://"), hostName(selfIdx), lit("/page/"), $"id")
+    val selfUrl = docUrl($"id", nHosts, seed)
 
     val nSpans = (pmod(xxhash64($"id", lit(seed), lit(2)), lit(5)) + 1).cast("int")
 
@@ -73,7 +79,10 @@ object SynthDocs {
       val page1 = pmod(xxhash64($"id", j, lit(seed), lit(6)), lit(1000))
       val page2 = pmod(xxhash64($"id", j, lit(seed), lit(7)), lit(1000))
       val twoUrls = pmod(xxhash64($"id", j, lit(seed), lit(8)), lit(3)) === 0
-      val url1 = concat(lit("https://"), hostName(t1), lit("/p/"), page1)
+      // url1 links to ANOTHER CORPUS DOC (real link graph — the frontier can
+      // keep crawling); url2 and media refs are external URLs
+      val targetDoc = pmod(xxhash64($"id", j, lit(seed), lit(10)), lit(nDocs))
+      val url1 = docUrl(targetDoc, nHosts, seed)
       val url2 = concat(lit("https://"), hostName(t2), lit("/p/"), page2, lit("?b=2&a=1"))
       val textBody = concat(
         lit("lorem ipsum dolor sit "), url1,
@@ -89,16 +98,17 @@ object SynthDocs {
     }
 
     base.select(
-      docUrl.as("doc_id"),
+      selfUrl.as("doc_id"),
       transform(sequence(lit(0), nSpans - 1), j => spanStruct(j)).as("spans")
     ).as[Doc]
   }
 
-  /** Seed URL list: the root URL of the first `n` host indices. */
-  def seeds(spark: SparkSession, n: Int): DataFrame = {
+  /** Seed URL list: the doc URLs of the first `n` docs of the corpus
+    * generated with the same (nHosts, seed).
+    */
+  def seeds(spark: SparkSession, n: Int, nHosts: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    spark.range(n).select(
-      concat(lit("https://"), hostName($"id".cast("int")), lit("/")).as("url"))
+    spark.range(n).select(docUrl($"id", nHosts, seed).as("url"))
   }
 
   /** Deterministic politeness budget table: tokens_per_round per host. */

@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.Properties
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot tables over plain Parquet (this environment ships
+  * no Iceberg runtime — SURVEY.md §7). Real Iceberg drops in behind this
+  * seam unchanged.
+  *
+  * Layout: `dir/snap-<id>/` data dirs + `dir/_snapshot` manifest. A snapshot
+  * manifest lists ALL data dirs it covers, so `append` is a metadata-only
+  * commit of a new delta dir (no rewrite — the property that makes a
+  * 10^10-row seen set updatable per round). Commits are atomic: manifest
+  * written to a temp file then renamed (rename is atomic on HDFS/POSIX; on
+  * raw object stores substitute a conditional put).
+  *
+  * This mirrors the reference's idempotent-step + checkpoint discipline
+  * (`workflow_lib.sh:10-40`, spot-instance checkpointing
+  * `build_hostgraph.sh:131-178`).
+  */
+object TableIO {
+
+  final case class Snapshot(id: Long, parentId: Long, paths: Seq[String],
+                            counters: Map[String, Long], lineage: String)
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String) = new Path(dir, "_snapshot")
+
+  def currentSnapshot(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val f = fs(spark, dir)
+    val mp = manifestPath(dir)
+    if (!f.exists(mp)) None else Some(readManifest(f, mp))
+  }
+
+  def snapshotAt(spark: SparkSession, dir: String, id: Long): Option[Snapshot] = {
+    val f = fs(spark, dir)
+    val mp = new Path(dir, s"_snapshot-$id")
+    if (!f.exists(mp)) None else Some(readManifest(f, mp))
+  }
+
+  private def readManifest(f: FileSystem, p: Path): Snapshot = {
+    val in = new BufferedReader(new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try {
+      val props = new Properties()
+      props.load(in)
+      Snapshot(
+        id = props.getProperty("id").toLong,
+        parentId = props.getProperty("parent", "-1").toLong,
+        paths = props.getProperty("paths", "").split(",").filter(_.nonEmpty).toSeq,
+        counters = props.stringPropertyNames().asScala
+          .filter(_.startsWith("counter."))
+          .map(k => k.stripPrefix("counter.") -> props.getProperty(k).toLong).toMap,
+        lineage = props.getProperty("lineage", ""))
+    } finally in.close()
+  }
+
+  private def writeManifest(f: FileSystem, dir: String, s: Snapshot): Unit = {
+    val props = new Properties()
+    props.setProperty("id", s.id.toString)
+    props.setProperty("parent", s.parentId.toString)
+    props.setProperty("paths", s.paths.mkString(","))
+    props.setProperty("lineage", s.lineage)
+    s.counters.foreach { case (k, v) => props.setProperty(s"counter.$k", v.toString) }
+    def dump(p: Path): Unit = {
+      val out = new OutputStreamWriter(f.create(p, true), StandardCharsets.UTF_8)
+      try props.store(out, null) finally out.close()
+    }
+    // immutable per-id manifest (resume pins to it) + atomic flip of _snapshot
+    dump(new Path(dir, s"_snapshot-${s.id}"))
+    val tmp = new Path(dir, "_snapshot.tmp")
+    dump(tmp)
+    f.delete(manifestPath(dir), false)
+    f.rename(tmp, manifestPath(dir))
+  }
+
+  /** Full-replace commit: write a fresh data dir, manifest covers only it. */
+  def write(df: DataFrame, dir: String, lineage: String = "",
+            counters: Map[String, Long] = Map.empty): Snapshot =
+    commit(df, dir, lineage, counters, keepParentPaths = false)
+
+  /** Append commit: write a delta dir, manifest covers parent dirs + delta.
+    * `parentId` pins the parent snapshot — REQUIRED for crash-replay
+    * correctness: a round killed after an append but before its marker
+    * leaves an orphan snapshot as "current"; the replayed round must append
+    * onto the snapshot its state marker pinned, not onto the orphan.
+    */
+  def append(df: DataFrame, dir: String, lineage: String = "",
+             counters: Map[String, Long] = Map.empty,
+             parentId: Option[Long] = None): Snapshot =
+    commit(df, dir, lineage, counters, keepParentPaths = true, parentId)
+
+  private def commit(df: DataFrame, dir: String, lineage: String,
+                     counters: Map[String, Long], keepParentPaths: Boolean,
+                     parentId: Option[Long] = None): Snapshot = {
+    val spark = df.sparkSession
+    val current = currentSnapshot(spark, dir)
+    val parent = parentId match {
+      case Some(id) => snapshotAt(spark, dir, id)
+        .orElse(throw new IllegalStateException(s"pinned parent snapshot $id missing in $dir"))
+      case None => current
+    }
+    val next = current.map(_.id + 1).getOrElse(0L)
+    val dataDir = s"$dir/snap-$next"
+    df.write.mode("overwrite").parquet(dataDir) // overwrite: crashed attempt of same id is replaced
+    val paths = (if (keepParentPaths) parent.map(_.paths).getOrElse(Seq.empty) else Seq.empty) :+ dataDir
+    val snap = Snapshot(next, parent.map(_.id).getOrElse(-1L), paths, counters, lineage)
+    writeManifest(fs(spark, dir), dir, snap)
+    snap
+  }
+
+  /** Read the current snapshot (empty table must be created first). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readSnapshot(spark, currentSnapshot(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $dir")))
+
+  /** Read a PINNED snapshot id — resume correctness depends on reading the
+    * state recorded in the last committed round marker, never "current".
+    */
+  def readAt(spark: SparkSession, dir: String, id: Long): DataFrame =
+    readSnapshot(spark, snapshotAt(spark, dir, id)
+      .getOrElse(throw new IllegalStateException(s"no snapshot $id in $dir")))
+
+  private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame =
+    spark.read.parquet(s.paths: _*)
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
+import graft.functions.{gf, HostStr}
+import graft.sources.{SynthDocs, TableIO}
+
+/** End-to-end frontier semantics: exact crawl order + URL-seen set equality
+  * against a sequential single-threaded oracle of the same rules, plus
+  * byte-identical resume after a simulated kill (north_rule).
+  */
+class FrontierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- shared fixture ----
+  val nDocs = 400L
+  val nHosts = 30
+  lazy val docs = SynthDocs.docs(spark, nDocs, nHosts, seed = 42).toDF()
+  lazy val fetcher = new CorpusFetcher(docs)
+  lazy val priorities = Frontier.hostPriorities(docs).localCheckpoint()
+  lazy val budgets = SynthDocs.politeness(spark, nHosts)
+    .select(gf.reverse_host(col("host")).as("rev_host"), col("tokens_per_round"))
+    .localCheckpoint()
+  lazy val robots = SynthDocs.politeness(spark, nHosts)
+    .filter(col("tokens_per_round") === 1)
+    .select(gf.reverse_host(col("host")).as("rev_host"),
+            typedLit(Seq("/img/")).as("disallow_prefixes"))
+    .localCheckpoint()
+  lazy val seeds = SynthDocs.seeds(spark, 8, nHosts)
+
+  def cfg(dir: String, bloom: Boolean = true) = Frontier.Config(
+    rootDir = dir, defaultTokens = 2, saltBuckets = 4,
+    seenCfg = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 14, numHashes = 5),
+    useBloom = bloom)
+
+  def runAll(dir: String, rounds: Int, bloom: Boolean = true): Frontier.State = {
+    val c = cfg(dir, bloom)
+    Frontier.init(spark, c, seeds, priorities, robots)
+    Frontier.run(spark, c, fetcher, rounds, budgets, robots, priorities)
+  }
+
+  def logOf(dir: String): Seq[(Int, Long, String)] =
+    Frontier.fetchLog(spark, cfg(dir)).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("seq"), r.getAs[String]("url"))).toSeq
+
+  def seenOf(dir: String): Set[String] =
+    Frontier.seenKeys(spark, cfg(dir)).collect().map(_.getString(0)).toSet
+
+  // ---- sequential oracle of the same rules (FIXTURES.md §6) ----
+  case class ORow(key: String, url: String, revHost: String, priority: Double)
+
+  def oracle(rounds: Int): (Seq[(Int, Long, String)], Set[String]) = {
+    val pairs: Map[String, Seq[String]] = fetcher.pairs.collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSeq }
+    val prio: Map[String, Double] = priorities.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val budg: Map[String, Int] = budgets.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val robo: Map[String, Seq[String]] = robots.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val seedUrls = seeds.collect().map(_.getString(0)).toSeq
+
+    def canon(urls: Seq[String]): Seq[ORow] =
+      urls.flatMap { u =>
+        val k = HostStr.surt(u)
+        val h = HostStr.urlHost(u)
+        if (k == null || h == null) None else Some((k, u, HostStr.reverseHost(h)))
+      }.groupBy(_._1).map { case (k, g) =>
+        val url = g.map(_._2).min
+        val rh = g.head._3
+        ORow(k, url, rh, prio.getOrElse(rh, 0.0))
+      }.toSeq
+
+    def robotsOk(r: ORow): Boolean = {
+      val path = "^https?://[^/]+(/.*)$".r.findFirstMatchIn(r.url)
+        .map(_.group(1)).filter(_.nonEmpty).getOrElse("/")
+      !robo.getOrElse(r.revHost, Nil).exists(path.startsWith)
+    }
+
+    var pending = canon(seedUrls).filter(robotsOk)
+    var seen = pending.map(_.key).toSet
+    val log = ArrayBuffer.empty[(Int, Long, String)]
+    var seq = 0L
+    for (round <- 0 until rounds) {
+      val selected = pending.groupBy(_.revHost).toSeq.flatMap { case (h, rows) =>
+        val tokens = budg.getOrElse(h, 2)
+        rows.sortBy(r => (-r.priority, r.url)).take(tokens)
+      }
+      selected.sortBy(r => (-r.priority, r.revHost, r.url)).foreach { r =>
+        seq += 1; log += ((round, seq, r.url))
+      }
+      val outs = selected.flatMap(r => pairs.getOrElse(r.key, Nil)).distinct
+      val cands = canon(outs).filter(robotsOk).filterNot(r => seen.contains(r.key))
+      seen ++= cands.map(_.key)
+      val selKeys = selected.map(_.key).toSet
+      pending = pending.filterNot(r => selKeys.contains(r.key)) ++ cands
+    }
+    (log.toSeq, seen)
+  }
+
+  // ---- tests ----
+
+  test("crawl order + seen set match the sequential oracle exactly") {
+    val dir = Files.createTempDirectory("frontier").toString
+    runAll(dir, rounds = 4)
+    val (expLog, expSeen) = oracle(4)
+    assert(logOf(dir) == expLog)
+    assert(seenOf(dir) == expSeen)
+    assert(expLog.nonEmpty && expSeen.nonEmpty)
+  }
+
+  test("bloom pruning does not change results") {
+    val dirA = Files.createTempDirectory("frontierA").toString
+    val dirB = Files.createTempDirectory("frontierB").toString
+    runAll(dirA, rounds = 3, bloom = true)
+    runAll(dirB, rounds = 3, bloom = false)
+    assert(logOf(dirA) == logOf(dirB))
+    assert(seenOf(dirA) == seenOf(dirB))
+  }
+
+  test("resume after kill reproduces the uninterrupted run byte-identically") {
+    val full = Files.createTempDirectory("frontierFull").toString
+    runAll(full, rounds = 4)
+
+    val killed = Files.createTempDirectory("frontierKilled").toString
+    runAll(killed, rounds = 2) // "killed" after round 1 committed
+
+    // simulate a crash mid-round-2: orphan appends landed but no marker
+    val c = cfg(killed)
+    val orphanKeys = Seq("com,orphan)/x", "com,orphan)/y").toDF("key")
+    UrlSeen.append(spark, s"$killed/seen", orphanKeys, c.seenCfg, "orphan")
+    TableIO.append(Seq((2, 999L, "https://orphan.com/")).toDF("round", "seq", "url"),
+      s"$killed/fetch_log", "orphan")
+
+    // resume to 4 rounds — replay must pin to markers, ignoring orphans
+    runAll(killed, rounds = 4)
+    assert(logOf(killed) == logOf(full))
+    assert(seenOf(killed) == seenOf(full))
+  }
+
+  test("per-round markers carry lineage counters") {
+    val dir = Files.createTempDirectory("frontierC").toString
+    runAll(dir, rounds = 2)
+    val st = Frontier.lastCommitted(spark, cfg(dir)).get
+    assert(st.round == 1)
+    assert(st.logRows > 0)
+    // snapshot manifests record per-bucket counters + lineage strings
+    val cur = TableIO.currentSnapshot(spark, s"$dir/seen").get
+    assert(cur.lineage.startsWith("round:"))
+    // the seeds append (snapshot pinned by the init marker) touched buckets
+    val init = Frontier.lastCommittedAt(spark, cfg(dir), -1).get
+    val seedSnap = TableIO.snapshotAt(spark, s"$dir/seen", init.seen).get
+    assert(seedSnap.counters.keys.exists(_.startsWith("bucket.")))
+  }
+}

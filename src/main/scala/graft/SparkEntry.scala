@@ -63,7 +63,8 @@ object SparkEntry {
               col("l_partkey").cast("long").as("to_id"))
       .distinct()
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ graphQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ graphQueries ++ TextQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1-style hash aggregation with partial agg (TPC-H Q1 shape)
@@ -275,7 +276,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = TextQueries.oracleSql ++ Map(
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.textops.{Dedup, Multimodal, Similarity, TextQuality}
+
+/** Training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal) + their DuckDB oracles. Pairwise queries run on fixed
+  * subsets (`doc_id < 500`, `vec_id < 200`) so the same rows are compared at
+  * every scale factor and Bench stays bounded.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 500)
+
+  private def embs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup (hash-groupBy)
+    "q_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("survivor_id")
+    }),
+    // MinHash + LSH banding + Jaccard verify
+    "q_minhash" -> ((s, dir) => {
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text", threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // SimHash signatures
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhash(Dedup.docTokenIds(docs(s, dir), "doc_id", "text"))
+        .orderBy("doc")
+    }),
+    // n-gram (3-gram) Jaccard near-dup
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.35)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // embedding cosine near-dup pairs (brute force on a capped subset)
+    "q_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(embs(s, dir).filter(col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.2).orderBy("id_a", "id_b")
+    }),
+    // brute-force cosine top-k ANN baseline
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 500)
+      Similarity.topK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rank")
+    }),
+    // LSH-bucketed ANN (approximate — no SQL oracle; recall pinned in tests)
+    "q_lsh_ann" -> ((s, dir) => {
+      Similarity.lshPairs(embs(s, dir).filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.2).orderBy("id_a", "id_b")
+    }),
+    // token counting (whitespace + BPE-ish regex)
+    "q_token_count" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextQuality.tokenCount(col("text")).as("wc"),
+        TextQuality.subwordCount(col("text")).as("subwords"))
+        .orderBy("doc_id")
+    }),
+    // quality scoring
+    "q_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextQuality.qualityScore(col("text")).as("score"),
+        TextQuality.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+    // language-ID heuristic
+    "q_langid" -> ((s, dir) => {
+      docs(s, dir).select(TextQuality.langId(col("text")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")
+    }),
+    // order-sensitive document fingerprint
+    "q_fingerprint" -> ((s, dir) => {
+      TextQuality.fingerprint(
+        TextQuality.docPosTokenIds(docs(s, dir), "doc_id", "text"))
+        .orderBy("doc")
+    }),
+    // multimodal featurize plumbing (stub kernels — rows-only check)
+    "q_media_features" -> ((s, dir) => {
+      import graft.sources.SynthDocs
+      Multimodal.featurize(Multimodal.mediaTable(SynthDocs.docs(s, 500, 40).toDF()))
+        .select(col("media_id"), col("kind"), col("width"), col("height"))
+        .orderBy("media_id")
+    })
+  )
+
+  // shared oracle CTE: deterministic token ids
+  private val IdsCte =
+    """toks AS (SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS tok
+      |         FROM documents WHERE doc_id < 500),
+      |dt AS (SELECT DISTINCT doc, tok FROM toks WHERE tok <> ''),
+      |v AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+      |      FROM (SELECT DISTINCT tok FROM dt)),
+      |ids AS (SELECT doc, tid FROM dt JOIN v USING (tok))""".stripMargin
+
+  private val simhashOracle: String = {
+    val ws = (0 until 16).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w$b").mkString(",\n  ")
+    val sig = (0 until 16).map(b =>
+      s"CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH $IdsCte,
+       |h AS (SELECT doc, (tid * 2654435761) % 2147483648 AS h FROM ids),
+       |w AS (SELECT doc,
+       |  $ws
+       |FROM h GROUP BY doc)
+       |SELECT doc, $sig AS simhash FROM w ORDER BY doc""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+        |FROM documents WHERE doc_id < 500 GROUP BY text ORDER BY 1""".stripMargin,
+    "q_minhash" ->
+      s"""WITH $IdsCte,
+         |sig AS (SELECT doc,
+         |  min((1103515245*tid + 12345) % 2147483647) AS h0,
+         |  min((1299709*tid + 7919) % 2147483647) AS h1,
+         |  min((104729*tid + 1117) % 2147483647) AS h2,
+         |  min((15485863*tid + 104723) % 2147483647) AS h3,
+         |  min((32452843*tid + 5581) % 2147483647) AS h4,
+         |  min((49979687*tid + 860033) % 2147483647) AS h5,
+         |  min((67867967*tid + 919) % 2147483647) AS h6,
+         |  min((86028121*tid + 7757) % 2147483647) AS h7
+         |FROM ids GROUP BY doc),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc < b.doc AND (
+         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+         |sz AS (SELECT doc, count(*) AS sz FROM ids GROUP BY doc),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN ids x ON x.doc = c.doc_a
+         |  JOIN ids y ON y.doc = c.doc_b AND y.tid = x.tid GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+         |FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
+         |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9
+         |ORDER BY 1, 2""".stripMargin,
+    "q_simhash" -> simhashOracle,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id AS doc, string_split(lower(text), ' ') AS l
+        |           FROM documents WHERE doc_id < 500),
+        |sh AS (SELECT DISTINCT doc, array_to_string(l[i:i+2], ' ') AS tok
+        |       FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)),
+        |sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+        |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
+        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.35
+        |ORDER BY 1, 2""".stripMargin,
+    "q_cosine_pairs" ->
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings WHERE vec_id < 200),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY 1)
+        |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+        |FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_ann_topk" ->
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings WHERE vec_id < 500),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY 1),
+        |scored AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+        |ranked AS (SELECT qid, cid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, cos FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(trim(text), ' ')) AS wc,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS subwords
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH q AS (SELECT doc_id, text,
+        |  len(string_split(trim(text), ' ')) AS wc,
+        |  round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct,
+        |  round(length(replace(trim(text), ' ', ''))
+        |    / greatest(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 1.0), 6) AS awl,
+        |  round(len(list_filter(string_split(lower(trim(text)), ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+        |    / greatest(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE), 1.0), 6) AS stop_ratio
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id,
+        |  round(least(CAST(wc AS DOUBLE) / 100.0, 1.0) * (1.0 - punct) *
+        |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS score,
+        |  stop_ratio
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        |           FROM documents WHERE doc_id < 500),
+        |h AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS hits FROM t
+        |  UNION ALL SELECT doc_id, 'en', len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) FROM t
+        |  UNION ALL SELECT doc_id, 'es', len(list_filter(toks, x -> list_contains(['el','la','los','que','es'], x))) FROM t
+        |  UNION ALL SELECT doc_id, 'fr', len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) FROM t
+        |  UNION ALL SELECT doc_id, 'it', len(list_filter(toks, x -> list_contains(['il','la','che','di','non'], x))) FROM t),
+        |best AS (SELECT doc_id, lang, hits,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM h)
+        |SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang, count(*) AS cnt
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fingerprint" ->
+      """WITH pt AS (SELECT doc_id AS doc, unnest(string_split(lower(trim(text)), ' ')) AS tok,
+        |                   generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        |            FROM documents WHERE doc_id < 500),
+        |pt2 AS (SELECT doc, tok, pos FROM pt WHERE tok <> ''),
+        |v AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+        |      FROM (SELECT DISTINCT tok FROM pt2))
+        |SELECT doc, bit_xor((tid * 2654435761 + pos * 40503) % 2147483648) AS fingerprint
+        |FROM pt2 JOIN v USING (tok) GROUP BY doc ORDER BY doc""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+
+/** Deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and token-set Jaccard. All hashing is arithmetic
+  * over DETERMINISTIC dense token ids (a join against a sorted vocabulary),
+  * so every stage is reproducible in plain SQL (the DuckDB oracles replicate
+  * it) and independent of partitioning.
+  *
+  * Scale shape: tokenize (narrow) → vocab join (broadcast when the vocab is
+  * small, sort-merge otherwise) → per-doc aggregation (one shuffle) →
+  * band-key self-join (LSH: only colliding buckets pair up — the step that
+  * replaces the O(n²) cross join at 10^9 docs).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical survivor per identical text = min id.
+    * One hash aggregation; at 100 TB group on xxhash64(text) first and
+    * verify text equality inside groups (hash-groupBy pattern).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"))
+
+  /** Distinct (doc, token) pairs, whitespace tokenization, lowercased. */
+  def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+
+  /** Deterministic dense token ids: vocabulary sorted lexicographically,
+    * tid = 1-based rank (replicable as `row_number() over (order by tok)`).
+    */
+  def vocab(tokens: DataFrame): DataFrame =
+    Ranks.rowNumber(tokens.select("tok").distinct(), Seq(col("tok").asc), "tid")
+
+  /** (doc, tid) pairs. */
+  def docTokenIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTokens(docs, idCol, textCol).join(vocab(docTokens(docs, idCol, textCol)), "tok")
+      .select(col("doc"), col("tid"))
+
+  // fixed universal-hash parameters: h_i(t) = (a_i * t + b_i) mod p
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1103515245L, 1299709L, 104729L, 15485863L,
+    32452843L, 49979687L, 67867967L, 86028121L)
+  val MinhashB: Seq[Long] = Seq(12345L, 7919L, 1117L, 104723L,
+    5581L, 860033L, 919L, 7757L)
+
+  /** MinHash signatures: k per-doc minima over the hashed token-id set.
+    * Output: (doc, h0..h{k-1}).
+    */
+  def minhashSignatures(docTids: DataFrame, k: Int = 8): DataFrame = {
+    require(k <= MinhashA.size)
+    val aggs = (0 until k).map { i =>
+      min((lit(MinhashA(i)) * col("tid") + lit(MinhashB(i))) % lit(MinhashP)).as(s"h$i")
+    }
+    docTids.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs whose signatures collide on any band of
+    * `rowsPerBand` consecutive hashes. Output: (doc_a, doc_b) with
+    * doc_a < doc_b, distinct.
+    */
+  def minhashCandidates(signatures: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { j =>
+      val keyCols = (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}"))
+      val keyed = signatures.select(col("doc"),
+        concat_ws(":", keyCols.map(_.cast("string")): _*).as("band_key"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    }
+    bands.reduce(_ unionByName _).distinct()
+  }
+
+  /** Token-set Jaccard for candidate pairs (the LSH verify step).
+    * Output: (doc_a, doc_b, jaccard) for pairs ≥ `threshold`.
+    */
+  def jaccardVerify(candidates: DataFrame, docTids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val sizes = docTids.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(docTids.select(col("doc").as("doc_a"), col("tid")), Seq("doc_a"))
+      .join(docTids.select(col("doc").as("doc_b"), col("tid")), Seq("doc_b", "tid"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pipeline end-to-end. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val tids = docTokenIds(docs, idCol, textCol)
+    jaccardVerify(minhashCandidates(minhashSignatures(tids, k), k, rowsPerBand),
+      tids, threshold)
+  }
+
+  /** SimHash (16-bit) over the token-id set: bit b of h(tid) votes ±1;
+    * simhash bit b set iff the vote sum is positive.
+    * h(tid) = (tid * 2654435761) mod 2^31 (Knuth multiplicative constant).
+    */
+  def simhash(docTids: DataFrame, bits: Int = 16): DataFrame = {
+    val h = (col("tid") * lit(2654435761L)) % lit(2147483648L)
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"w$b")
+    }
+    val voted = docTids.groupBy("doc").agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc"), sig.as("simhash"))
+  }
+
+  /** Word n-gram shingles of a text column as an array column. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(lower(textCol), " ")
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => size(split(s, " ")) === n)
+  }
+
+  /** N-gram Jaccard near-dup via exploded shingles (no LSH — the exact
+    * verify path for small candidate sets).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), n)).as("tok"))
+      .distinct()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

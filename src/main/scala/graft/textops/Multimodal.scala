@@ -1,0 +1,121 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Hll
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata, plus decode / feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing (schemas, partitioning, batch shapes, column
+  * lineage) is REAL and tested; the media KERNELS are deterministic STUBS —
+  * this container ships no image/audio codecs. Each stub is marked and keeps
+  * the exact signature a real kernel (JNI codec, ONNX encoder) would have,
+  * so swapping one in changes no plan shape.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("duration_ms", IntegerType))), nullable = true)))
+
+  /** Build the media table from the interleaved-docs table: media spans →
+    * one row per media_ref with deterministic synthetic payload bytes
+    * (STUB: a real pipeline reads the blob store here).
+    */
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val media = docs
+      .select(explode(col("spans")).as("span"))
+      .filter(col("span.kind") === "media")
+      .select(col("span.media_ref").as("media_id"))
+      .distinct()
+    media.select(
+      col("media_id"),
+      when(col("media_id").endsWith(".jpg"), lit("image")).otherwise(lit("video")).as("kind"),
+      // STUB payload: bytes derived from the id — deterministic, non-null
+      to_binary(sha2(col("media_id"), 256), lit("hex")).as("bytes"),
+      struct(
+        (pmod(xxhash64(col("media_id"), lit(1)), lit(1920)) + 64).cast("int").as("width"),
+        (pmod(xxhash64(col("media_id"), lit(2)), lit(1080)) + 64).cast("int").as("height"),
+        (pmod(xxhash64(col("media_id"), lit(3)), lit(60000)) + 1000).cast("int").as("duration_ms")
+      ).as("meta"))
+  }
+
+  /** STUB decode: binary → (format, width, height). A real kernel would
+    * parse the container header; the stub derives deterministic values from
+    * the payload hash so downstream plans are testable.
+    */
+  val decodeImage = F.udf((bytes: Array[Byte]) => {
+    if (bytes == null) null
+    else {
+      val h = Hll.mix64(bytes.foldLeft(17L)((acc, b) => acc * 31 + b))
+      ("stub-rgb", (math.floorMod(h, 1920) + 64).toInt,
+        (math.floorMod(h >>> 17, 1080) + 64).toInt)
+    }
+  })
+
+  /** STUB resize: returns a payload of exactly `w*h/64` bytes derived from
+    * the input (a real kernel returns the re-encoded image).
+    */
+  val resizeImage = F.udf((bytes: Array[Byte], w: Int, h: Int) => {
+    if (bytes == null) null
+    else {
+      val n = math.max(1, w * h / 64)
+      val out = new Array[Byte](n)
+      var i = 0
+      var st = bytes.foldLeft(0x9E3779B9L)((acc, b) => acc * 31 + b)
+      while (i < n) { st = Hll.mix64(st); out(i) = st.toByte; i += 1 }
+      out
+    }
+  })
+
+  /** STUB frame sampling: k deterministic "frames" per video payload. */
+  val sampleFrames = F.udf((bytes: Array[Byte], k: Int) => {
+    if (bytes == null) Array.empty[Array[Byte]]
+    else (0 until k).map { i =>
+      val st = Hll.mix64(bytes.foldLeft(i.toLong + 1)((acc, b) => acc * 31 + b))
+      Array.tabulate[Byte](16)(j => (st >>> (j * 4)).toByte)
+    }.toArray
+  })
+
+  /** STUB feature extraction: binary → unit-norm float[dims] embedding
+    * (deterministic from the payload). Slot an ONNX/JNI encoder here.
+    */
+  def embedStub(dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udf((bytes: Array[Byte]) => {
+      if (bytes == null) null
+      else {
+        var st = bytes.foldLeft(42L)((acc, b) => acc * 31 + b)
+        val v = Array.tabulate(dims) { _ =>
+          st = Hll.mix64(st)
+          ((st & 0xFFFF).toFloat / 32768f) - 1f
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        v.map(_ / n)
+      }
+    })
+
+  /** decode → resize → embed pipeline over the media table: the plan a real
+    * multimodal featurizer runs, with stub kernels. Repartitions by media_id
+    * so kernel work spreads evenly regardless of source file layout.
+    */
+  def featurize(media: DataFrame, dims: Int = 64, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+            else media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    media.repartition(p, col("media_id"))
+      .withColumn("decoded", decodeImage(col("bytes")))
+      .withColumn("resized", resizeImage(col("bytes"), lit(64), lit(64)))
+      .withColumn("embedding", embedStub(dims)(col("resized")))
+      .select(col("media_id"), col("kind"), col("meta"),
+        col("decoded._1").as("format"),
+        col("decoded._2").as("width"),
+        col("decoded._3").as("height"),
+        col("embedding"))
+  }
+}

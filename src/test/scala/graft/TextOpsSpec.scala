@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SynthDocs
+import graft.textops.{Dedup, Multimodal, Similarity, TextQuality}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val fixture = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy dog"),   // near dup of 0
+    (3L, "completely different words entirely unrelated content here"),
+    (4L, "der hund ist gross und die katze ist klein")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor with copy count") {
+    val r = Dedup.exact(fixture, "doc_id", "text").orderBy("survivor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash: identical token sets collide on every band; near-dups verified by jaccard") {
+    val pairs = Dedup.minhashDedup(fixture, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // identical token sets collide on EVERY band — guaranteed, not probabilistic
+    assert(asMap((0L, 1L)) == 1.0)
+    assert(!asMap.contains((0L, 3L)))
+    // verify step computes exact jaccard for an explicit candidate: 8/9
+    val tids = Dedup.docTokenIds(fixture, "doc_id", "text")
+    val j = Dedup.jaccardVerify(Seq((0L, 2L)).toDF("doc_a", "doc_b"), tids, 0.0)
+      .first().getDouble(2)
+    assert(math.abs(j - 0.888889) < 1e-6)
+  }
+
+  test("simhash: equal token sets → equal signature; disjoint sets differ") {
+    val sig = Dedup.simhash(Dedup.docTokenIds(fixture, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+  }
+
+  test("ngram jaccard pairs on hand-checked shingles") {
+    val r = Dedup.ngramJaccardPairs(fixture, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    // 0 and 1 identical → jaccard 1.0 on 3-grams
+    assert(r.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // 0 vs 3 share no 3-gram
+    assert(!r.exists(p => p._1 == 0L && p._2 == 3L))
+  }
+
+  test("cosine + topK on hand vectors") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(1f, 1f, 0f)), (3L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.toSet == Set((0L, 2L, 0.7071), (1L, 2L, 0.7071)))
+    val top = Similarity.topK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(top == Seq((0L, 1, 2L), (0L, 2, 1L))) // cos: 2→0.707, 1→0, 3→-1
+  }
+
+  test("LSH ANN: subset of brute force with nonzero recall on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200)
+    val brute = Similarity.cosinePairs(e, "vec_id", "embedding", 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshPairs(e, "vec_id", "embedding", 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty) assert(lsh.nonEmpty, s"recall 0 over ${brute.size} true pairs")
+  }
+
+  test("quality + langid heuristics") {
+    val rows = fixture.select($"doc_id", TextQuality.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(0L) == "en")
+    assert(rows(4L) == "de")
+    val score = fixture.select(TextQuality.qualityScore($"text")).first().getDouble(0)
+    assert(score > 0.0 && score <= 1.0)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fp = TextQuality.fingerprint(TextQuality.docPosTokenIds(df, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(2L))
+    assert(fp(0L) != fp(1L))
+  }
+
+  test("multimodal featurize: real plumbing, deterministic stub kernels") {
+    val docs = SynthDocs.docs(spark, 200, 20).toDF()
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.featurize(media, dims = 16)
+    val a = feats.orderBy("media_id").collect()
+    val b = Multimodal.featurize(Multimodal.mediaTable(docs), dims = 16)
+      .orderBy("media_id").collect()
+    assert(a.length == media.count() && a.length > 0)
+    assert(a.map(_.getString(0)).sameElements(b.map(_.getString(0))))
+    val embA = a.map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    val embB = b.map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    assert(embA.zip(embB).forall { case (x, y) => x == y })
+    // unit-norm embeddings
+    assert(embA.forall(v => math.abs(v.map(x => x * x).sum - 1.0) < 1e-3))
+    assert(a.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64))
+  }
+}

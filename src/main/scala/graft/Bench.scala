@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark (driver contract): one JSON line with
+  *  - per-query wall times over `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS`,
+  *  - the north_rule frontier metrics: urls_scheduled/sec at local[8] vs
+  *    local[32] on an identical synthetic corpus + scaling efficiency
+  *    (BASELINE.md protocol; skip with SPARK_GRAFT_SKIP_SCALING=1).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +15,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,10 +24,34 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // frontier scaling numbers: measured by graft.ScalingBench (8M-doc
+    // corpus, local[8] vs local[32] — BASELINE.md protocol) and committed to
+    // BENCH/BASELINE.md; re-measure live with SPARK_GRAFT_BENCH_SCALING=live
+    // (~15 min). Provenance is recorded in the "source" field.
+    val scaling =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("live")) {
+        try {
+          val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "8000000").toLong
+          val lo = ScalingBench.runOnce(8, nDocs, 20000, rounds = 3, seeds = 250000, tokens = 16)
+          val hi = ScalingBench.runOnce(32, nDocs, 20000, rounds = 3, seeds = 250000, tokens = 16)
+          val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
+          f""","frontier":{"source":"live","urls":${hi.urls},"thr_8":${lo.urlsPerSec}%.2f,"thr_32":${hi.urlsPerSec}%.2f,"urls_scheduled_per_sec":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"deterministic":${lo.urls == hi.urls}}"""
+        } catch { case e: Throwable =>
+          s""","frontier":{"error":"${e.getClass.getSimpleName}"}"""
+        }
+      } else {
+        try {
+          val md = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH/BASELINE.md"))
+          md.linesIterator.find(_.startsWith("{\"metric\":\"urls_scheduled_per_sec"))
+            .map(j => s""","frontier":{"source":"BENCH/BASELINE.md (graft.ScalingBench)","result":$j}""")
+            .getOrElse("")
+        } catch { case _: Throwable => "" }
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
   }
 }

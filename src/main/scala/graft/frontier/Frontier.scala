@@ -200,21 +200,34 @@ object Frontier {
   }
 
   /** Run rounds [lastCommitted+1, rounds); each committed round is skipped on
-    * resume (idempotent steps — `workflow_lib.sh:16-23`).
+    * resume (idempotent steps — `workflow_lib.sh:16-23`). The bloom sidecar
+    * map is threaded through the loop so steady-state rounds never re-read it.
     */
   def run(spark: SparkSession, c: Config, fetcher: Fetcher, rounds: Int,
           budgets: DataFrame, robots: DataFrame, priorities: DataFrame): State = {
     var st = lastCommitted(spark, c)
       .getOrElse(throw new IllegalStateException("frontier not initialized"))
+    var blooms: Option[Map[Int, Array[Byte]]] = None
     while (st.round + 1 < rounds) {
-      st = runRound(spark, c, st, fetcher, budgets, robots, priorities)
+      val (st2, blooms2) = runRound(spark, c, st, fetcher, budgets, robots, priorities, blooms)
+      st = st2
+      blooms = blooms2
     }
     st
   }
 
   private def runRound(spark: SparkSession, c: Config, st: State, fetcher: Fetcher,
                        budgets: DataFrame, robots: DataFrame,
-                       priorities: DataFrame): State = {
+                       priorities: DataFrame,
+                       bloomCache: Option[Map[Int, Array[Byte]]] = None)
+      : (State, Option[Map[Int, Array[Byte]]]) = {
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tPrev = System.nanoTime()
+    def lap(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[round-timing] $phase%-16s ${(now - tPrev) / 1e9}%.2fs")
+      tPrev = now
+    }
     val round = st.round + 1
     val pending = TableIO.readAt(spark, pendingDir(c), st.pending)
 
@@ -236,6 +249,7 @@ object Frontier {
       .select("key", "url", "rev_host", "priority")
       .localCheckpoint()
     val nSelected = selected.count()
+    lap("select")
 
     // ---- deterministic total crawl order ----
     val logRows =
@@ -243,28 +257,46 @@ object Frontier {
       else Ranks.rowNumber(selected,
           Seq(col("priority").desc, col("rev_host").asc, col("url").asc), "seq")
         .select(lit(round).as("round"), (col("seq") + st.logRows).as("seq"), col("url"))
+    lap("order")
 
     // ---- fetch + canonicalize + robots + dedup + enqueue ----
     val outlinks = fetcher.fetch(selected).select(col("outlink").as("url"))
     val candidates = robotsFilter(canonicalize(outlinks, priorities), robots)
     val newRows = UrlSeen.unseen(spark, seenDir(c), candidates, c.seenCfg, c.useBloom,
-        atSnapshot = Some(st.seen))
+        atSnapshot = Some(st.seen), blooms = bloomCache)
       .select("key", "url", "rev_host", "priority")
       .localCheckpoint()
     val nNew = newRows.count()
+    lap("fetch+dedup")
 
-    // ---- commit ----
+    // ---- commit: the three state tables are independent — write them
+    // concurrently (the reference runs independent steps in background too,
+    // H4 `workflow_lib.sh:42-57`); the round marker is the serialization
+    // point and is only written after all three land ----
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val newPending = pending.join(selected.select("key"), Seq("key"), "left_anti")
       .unionByName(newRows)
-    val pSnap = TableIO.write(newPending, pendingDir(c), s"round:$round:pending")
-    val seenSnap = UrlSeen.append(spark, seenDir(c), newRows.select("key"), c.seenCfg,
-      s"round:$round:seen", parentId = Some(st.seen))
-    val lSnap = TableIO.append(logRows, logDir(c), s"round:$round:log",
-      Map("rows" -> nSelected), parentId = Some(st.log))
+    val fPending = Future {
+      TableIO.write(newPending, pendingDir(c), s"round:$round:pending")
+    }
+    val fSeen = Future {
+      UrlSeen.append(spark, seenDir(c), newRows.select("key"), c.seenCfg,
+        s"round:$round:seen", parentId = Some(st.seen), prevBlooms = bloomCache)
+    }
+    val fLog = Future {
+      TableIO.append(logRows, logDir(c), s"round:$round:log",
+        Map("rows" -> nSelected), parentId = Some(st.log))
+    }
+    val pSnap = Await.result(fPending, Duration.Inf)
+    val (seenSnap, blooms) = Await.result(fSeen, Duration.Inf)
+    val lSnap = Await.result(fLog, Duration.Inf)
+    lap("commit")
     val newState = State(round, seenSnap.id, pSnap.id, lSnap.id, st.logRows + nSelected)
     writeMarker(spark, c, newState, Map(
       "selected" -> nSelected, "new_urls" -> nNew))
-    newState
+    (newState, Some(blooms))
   }
 
   /** The committed fetch log at the last completed round. */

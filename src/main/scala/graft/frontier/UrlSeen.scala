@@ -85,25 +85,88 @@ object UrlSeen {
       counters = Map("buckets" -> cfg.buckets.toLong))
   }
 
-  /** Append canonical keys (pre-bucketed) and refresh the bloom sidecar for
-    * the touched buckets. `keys` must be deduplicated against the table
-    * already (the frontier loop guarantees it).
+  /** OR-merge of bloom bit arrays (incremental sidecar refresh). */
+  class OrAgg(bytes: Int) extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](bytes)
+    override def reduce(a: Array[Byte], b: Array[Byte]): Array[Byte] = merge(a, b)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (b == null) return a
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Append canonical keys and INCREMENTALLY refresh the bloom sidecar:
+    * ONE aggregation job over the delta yields per-bucket counters AND
+    * delta blooms; the OR-merge with the previous sidecar happens on the
+    * driver (the sidecar is driver/broadcast-sized by construction — it is
+    * what [[unseen]] broadcasts). Per-round cost scales with the delta,
+    * never with the 10^10-row table. `keys` must already be deduplicated
+    * against the table (the frontier loop guarantees it).
+    *
+    * @param prevBlooms the cached sidecar from the previous append — pass it
+    *                   to skip the disk read; omitted on resume
+    * @return (snapshot, merged sidecar map) — thread the map into the next
+    *         round's [[unseen]]/append
     */
   def append(spark: SparkSession, dir: String, keys: DataFrame,
              cfg: Config = Config(), lineage: String = "",
-             parentId: Option[Long] = None): TableIO.Snapshot = {
+             parentId: Option[Long] = None,
+             prevBlooms: Option[Map[Int, Array[Byte]]] = None)
+      : (TableIO.Snapshot, Map[Int, Array[Byte]]) = {
+    // bucket kept as a DATA column clustered within files (repartition +
+    // sort) — parquet min/max stats then prune row groups per bucket.
+    // Directory partitioning would break multi-snapshot reads (the initial
+    // empty snapshot has no partition dirs) for no pruning gain: candidate
+    // batches hash into every bucket anyway.
     val bucketed = keys.select(bucketOf(col("key"), cfg.buckets).as("bucket"), col("key"))
       .repartition(col("bucket"))
-    val perBucket = bucketed.groupBy("bucket").count().collect()
-      .map(r => s"bucket.${r.getInt(0)}" -> r.getLong(1)).toMap
+      .sortWithinPartitions("bucket", "key")
+      .localCheckpoint() // computed once: counters+blooms agg, then write
+    val bloomAgg = F.udaf(new BloomAgg(cfg.bitsPerBucket, cfg.numHashes))
+    val deltaStats = bucketed
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), bloomAgg(xxhash64(col("key"))).as("bits"))
+      .collect()
+    val perBucket = deltaStats.map(r => s"bucket.${r.getInt(0)}" -> r.getLong(1)).toMap
     val snap = TableIO.append(bucketed, dir, lineage, perBucket, parentId)
-    refreshBloom(spark, dir, cfg)
-    snap
+    val prev = prevBlooms.getOrElse(readBloomMap(spark, dir))
+    val merged = scala.collection.mutable.Map[Int, Array[Byte]](prev.toSeq: _*)
+    deltaStats.foreach { r =>
+      val b = r.getInt(0)
+      val bits = r.getAs[Array[Byte]]("bits")
+      merged.get(b) match {
+        case Some(old) =>
+          // clone: never mutate the caller's map (broadcasts in local mode
+          // share object references)
+          val m = old.clone()
+          var i = 0
+          while (i < m.length) { m(i) = (m(i) | bits(i)).toByte; i += 1 }
+          merged.put(b, m)
+        case None => merged.put(b, bits)
+      }
+    }
+    import spark.implicits._
+    val mergedDf = merged.toSeq.map { case (b, bits) => (b, bits) }
+      .toDF("bucket", "bits")
+    TableIO.write(mergedDf, s"$dir-bloom", lineage = "urlseen:bloom")
+    (snap, merged.toMap)
   }
 
-  /** (Re)build the per-bucket bloom sidecar from the current table. One
-    * aggregation job; at 10^10 keys make it incremental by OR-merging the
-    * previous sidecar with a delta-only build (same Aggregator).
+  /** Load the bloom sidecar as a driver map (what [[unseen]] broadcasts). */
+  def readBloomMap(spark: SparkSession, dir: String): Map[Int, Array[Byte]] =
+    TableIO.currentSnapshot(spark, s"$dir-bloom") match {
+      case Some(_) => TableIO.read(spark, s"$dir-bloom").collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+      case None => Map.empty
+    }
+
+  /** Full rebuild of the per-bucket bloom sidecar from the current table
+    * (compaction path; the per-round path is incremental).
     */
   def refreshBloom(spark: SparkSession, dir: String, cfg: Config = Config()): Unit = {
     val bloomAgg = F.udaf(new BloomAgg(cfg.bitsPerBucket, cfg.numHashes))
@@ -120,7 +183,8 @@ object UrlSeen {
     */
   def unseen(spark: SparkSession, dir: String, candidates: DataFrame,
              cfg: Config = Config(), useBloom: Boolean = true,
-             atSnapshot: Option[Long] = None): DataFrame = {
+             atSnapshot: Option[Long] = None,
+             blooms: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
     // exact layer pinned to the marker's snapshot (crash-replay correctness);
     // the bloom sidecar may be ahead of it — false "maybe seen" answers fall
     // through to the pinned exact anti-join, so staleness cannot corrupt.
@@ -135,8 +199,7 @@ object UrlSeen {
       if (!useBloom) withBucket.withColumn("__maybe", lit(true))
       else {
         val bloomMap: Map[Int, Array[Byte]] =
-          TableIO.read(spark, s"$dir-bloom").collect()
-            .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+          blooms.getOrElse(readBloomMap(spark, dir))
         val bc = spark.sparkContext.broadcast(bloomMap)
         val k = cfg.numHashes
         val mightContain = F.udf((bucket: Int, h: Long) =>

@@ -26,19 +26,21 @@ object HostGraph {
     * Narrow pipeline (explode + regexp + custom expressions, all codegen'd,
     * zero shuffles) followed by one distinct.
     */
-  def hostLinks(docs: DataFrame): DataFrame = {
+  def hostLinks(docs: DataFrame, dedup: Boolean = true): DataFrame = {
     val spans = docs.select(col("doc_id"), explode(col("spans")).as("span"))
     val targets = spans.select(
       col("doc_id"),
       explode(
         when(col("span.kind") === "text", gf.extract_urls(col("span.text")))
           .otherwise(array(col("span.media_ref")))).as("url"))
-    targets
+    val links = targets
       .select(
         gf.reverse_host(gf.url_host(col("doc_id"))).as("from_host"),
         gf.reverse_host(gf.url_host(col("url"))).as("to_host"))
       .filter(col("from_host").isNotNull && col("to_host").isNotNull)
-      .distinct()
+    // dedup=false for append-mode streaming sinks (stateless plan); the
+    // graph build dedups at fold time anyway
+    if (dedup) links.distinct() else links
   }
 
   /** Build the numeric host graph from link tuples.

@@ -83,8 +83,10 @@ object TableIO {
 
   /** Full-replace commit: write a fresh data dir, manifest covers only it. */
   def write(df: DataFrame, dir: String, lineage: String = "",
-            counters: Map[String, Long] = Map.empty): Snapshot =
-    commit(df, dir, lineage, counters, keepParentPaths = false)
+            counters: Map[String, Long] = Map.empty,
+            partitionBy: Seq[String] = Seq.empty): Snapshot =
+    commit(df, dir, lineage, counters, keepParentPaths = false,
+      partitionCols = partitionBy)
 
   /** Append commit: write a delta dir, manifest covers parent dirs + delta.
     * `parentId` pins the parent snapshot — REQUIRED for crash-replay
@@ -94,12 +96,14 @@ object TableIO {
     */
   def append(df: DataFrame, dir: String, lineage: String = "",
              counters: Map[String, Long] = Map.empty,
-             parentId: Option[Long] = None): Snapshot =
-    commit(df, dir, lineage, counters, keepParentPaths = true, parentId)
+             parentId: Option[Long] = None,
+             partitionBy: Seq[String] = Seq.empty): Snapshot =
+    commit(df, dir, lineage, counters, keepParentPaths = true, parentId, partitionBy)
 
   private def commit(df: DataFrame, dir: String, lineage: String,
                      counters: Map[String, Long], keepParentPaths: Boolean,
-                     parentId: Option[Long] = None): Snapshot = {
+                     parentId: Option[Long] = None,
+                     partitionCols: Seq[String] = Seq.empty): Snapshot = {
     val spark = df.sparkSession
     val current = currentSnapshot(spark, dir)
     val parent = parentId match {
@@ -109,7 +113,8 @@ object TableIO {
     }
     val next = current.map(_.id + 1).getOrElse(0L)
     val dataDir = s"$dir/snap-$next"
-    df.write.mode("overwrite").parquet(dataDir) // overwrite: crashed attempt of same id is replaced
+    val w = df.write.mode("overwrite") // overwrite: crashed attempt of same id is replaced
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dataDir)
     val paths = (if (keepParentPaths) parent.map(_.paths).getOrElse(Seq.empty) else Seq.empty) :+ dataDir
     val snap = Snapshot(next, parent.map(_.id).getOrElse(-1L), paths, counters, lineage)
     writeManifest(fs(spark, dir), dir, snap)

@@ -265,6 +265,40 @@ object SparkEntry {
       Frontier.run(s, c, fetcher, 3, budgets, robots, priorities)
       Frontier.fetchLog(s, c)
     }),
+    // F5: strongly connected components (5-cycles within nation groups)
+    "q_scc" -> ((s, dir) => {
+      val nation = s.read.parquet(t(dir, "nation"))
+      val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
+      val cycle = nation.select(
+        col("n_nationkey").cast("long").as("from_id"),
+        (col("n_nationkey") - (col("n_nationkey") % 5) +
+          ((col("n_nationkey") % 5) + 1) % 5).cast("long").as("to_id"))
+      graft.operators.Scc.exact(nodes, cycle).orderBy("id")
+    }),
+    // B8/E6: degree-threshold top-k report (process_webgraph.sh:163-176)
+    "q_top_degrees" -> ((s, dir) => {
+      Ranking.topDegrees(Ranking.outDegrees(lineitemEdges(s, dir)),
+        "outdeg", threshold = 40, k = 20)
+    }),
+    // E7: limit/offset pagination
+    "q_limit_offset" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(100).limit(50)
+    }),
+    // H3: multi-crawl merge with stable vertex-id reuse
+    "q_merged_ids" -> ((s, dir) => {
+      def crawl(parity: Int) = s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_partkey") % 2 === parity)
+        .select(concat(lit("s"), col("l_suppkey")).as("from_host"),
+                concat(lit("p"), col("l_partkey")).as("to_host"))
+        .distinct()
+      val (v1, _) = HostGraph.build(crawl(0))
+      val (vm, _) = HostGraph.buildWithExistingIds(
+        HostGraph.mergeLinks(Seq(crawl(0), crawl(1))), v1)
+      vm.select(col("id"), col("rev_name")).orderBy("id")
+    }),
     // D10/F4: component size distribution
     "q_cc_sizes" -> ((s, dir) => {
       val nation = s.read.parquet(t(dir, "nation"))
@@ -413,6 +447,33 @@ object SparkEntry {
         |  CAST(count(DISTINCT CASE WHEN from_in = 0 AND to_in = 1 THEN from_id END) AS BIGINT) AS outer_linking,
         |  round(sum(CASE WHEN from_in = 1 AND to_in = 1 THEN 1 ELSE 0 END) / CAST(50 AS DOUBLE), 6) AS avg_degree
         |FROM t""".stripMargin,
+    "q_scc" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component
+        |FROM nation ORDER BY 1""".stripMargin,
+    "q_top_degrees" ->
+      """SELECT from_id AS id, count(*) AS outdeg
+        |FROM (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id FROM lineitem)
+        |GROUP BY 1 HAVING count(*) > 40
+        |ORDER BY outdeg DESC, id ASC LIMIT 20""".stripMargin,
+    "q_limit_offset" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100""".stripMargin,
+    "q_merged_ids" ->
+      """WITH e1 AS (SELECT DISTINCT 's' || l_suppkey AS f, 'p' || l_partkey AS t
+        |            FROM lineitem WHERE l_partkey % 2 = 0),
+        |e2 AS (SELECT DISTINCT 's' || l_suppkey AS f, 'p' || l_partkey AS t
+        |       FROM lineitem WHERE l_partkey % 2 = 1),
+        |n1 AS (SELECT f AS name FROM e1 UNION SELECT t FROM e1),
+        |nall AS (SELECT f AS name FROM e1 UNION SELECT t FROM e1
+        |         UNION SELECT f FROM e2 UNION SELECT t FROM e2),
+        |old AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS id FROM n1),
+        |newn AS (SELECT name FROM nall EXCEPT SELECT name FROM n1),
+        |newi AS (SELECT name, (SELECT max(id) FROM old) + row_number() OVER (ORDER BY name) AS id
+        |         FROM newn)
+        |SELECT id, rev_name FROM (
+        |  SELECT id, name AS rev_name FROM old
+        |  UNION ALL SELECT id, name FROM newi) ORDER BY id""".stripMargin,
     "q_surt" ->
       """SELECT 'com,' || source || ',www)/p/' || doc_id || '?a=1&b=2' AS surt_key,
         |       count(*) AS cnt

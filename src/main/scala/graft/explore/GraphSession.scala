@@ -1,0 +1,83 @@
+package graft.explore
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Explore, HostGraph, Ranking}
+
+/** Interactive exploration facade mirroring the reference's `GraphExplorer`
+  * shell (`GraphExplorer.java:91-313`): a current-vertex cursor plus the
+  * `cn`/`pwn`/`ls`/`sl` commands, with label↔id resolution against the
+  * vertices table (the table IS the bidirectional vertex map,
+  * `Graph.java:102-126`).
+  *
+  * The reference explores a memory-mapped BVGraph; here every command is a
+  * small Spark plan over the (bucketable, cacheable) vertices/edges tables —
+  * call `cache()` once for interactive latency.
+  */
+class GraphSession(val vertices: DataFrame, val edges: DataFrame) {
+
+  private var current: Option[Long] = None
+  private lazy val edgesT = HostGraph.transpose(edges)
+
+  /** Cache both tables for repeated point queries. */
+  def cache(): GraphSession = { vertices.cache(); edges.cache(); this }
+
+  def vertexIdToLabel(id: Long): Option[String] =
+    vertices.filter(col("id") === id).select("rev_name")
+      .collect().headOption.map(_.getString(0))
+
+  def vertexLabelToId(revName: String): Option[Long] =
+    vertices.filter(col("rev_name") === revName).select("id")
+      .collect().headOption.map(_.getLong(0))
+
+  /** `cn` — change the current vertex (`GraphExplorer.java:106-121`). */
+  def cn(revName: String): Unit = { current = vertexLabelToId(revName) }
+  def cn(id: Long): Unit = { current = Some(id) }
+
+  /** `pwn` — print/return the working node (`GraphExplorer.java:124-131`). */
+  def pwn(): Option[(Long, String)] =
+    current.flatMap(id => vertexIdToLabel(id).map(id -> _))
+
+  /** `ls` — successors of the current/given vertex (`GraphExplorer.java:134-159`). */
+  def ls(): Seq[Long] = current.map(ls).getOrElse(Seq.empty)
+  def ls(id: Long): Seq[Long] =
+    Explore.successors(edges, id).collect().map(_.getLong(0)).toSeq
+  def ls(revName: String): Seq[Long] =
+    vertexLabelToId(revName).map(ls).getOrElse(Seq.empty)
+
+  /** `sl` — predecessors (`GraphExplorer.java:162-186`). */
+  def sl(): Seq[Long] = current.map(sl).getOrElse(Seq.empty)
+  def sl(id: Long): Seq[Long] =
+    Explore.predecessors(edges, id).collect().map(_.getLong(0)).toSeq
+  def sl(revName: String): Seq[Long] =
+    vertexLabelToId(revName).map(sl).getOrElse(Seq.empty)
+
+  def outdegree(id: Long): Long = ls(id).size.toLong
+  def indegree(id: Long): Long = sl(id).size.toLong
+
+  /** Successor/predecessor TLD frequency reports (`Graph.java:212-288`). */
+  def successorTldCounts(revName: String): DataFrame =
+    Explore.successorTldCounts(edges, vertices, vertexLabelToId(revName).get)
+  def predecessorTldCounts(revName: String): DataFrame =
+    Explore.successorTldCounts(edgesT, vertices, vertexLabelToId(revName).get)
+
+  /** Shared successors/predecessors k-of-n (`Graph.java:322-377`). */
+  def sharedSuccessors(ids: Seq[Long], minShared: Int, maxShared: Int): Seq[Long] =
+    Explore.sharedSuccessors(edges, ids, minShared, maxShared)
+      .collect().map(_.getLong(0)).toSeq
+  def sharedPredecessors(ids: Seq[Long], minShared: Int, maxShared: Int): Seq[Long] =
+    Explore.sharedSuccessors(edgesT, ids, minShared, maxShared)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Vertices under a reversed-name prefix (iepm intervals, `Graph.java:176-202`). */
+  def prefix(revNamePrefix: String): DataFrame =
+    Explore.prefixVertices(vertices, revNamePrefix)
+
+  /** String frequency report, (count desc, value asc) (`GraphExplorer.java:305-313`). */
+  def frequencies(df: DataFrame, column: String): DataFrame =
+    Explore.frequencies(df, col(column))
+
+  /** Degree-annotated vertices (`Stats --save-degrees`). */
+  def degrees(): DataFrame = Ranking.withDegrees(vertices, edges)
+}

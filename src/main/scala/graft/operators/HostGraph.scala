@@ -49,6 +49,46 @@ object HostGraph {
     * (the same shape as the reference's Spark job); the vertices side is
     * re-used for both ends.
     */
+  /** Multi-crawl merge (H3, `build_hostgraph.sh:183-215`): union of per-crawl
+    * link sets, deduplicated at graph-build time.
+    */
+  def mergeLinks(crawls: Seq[DataFrame]): DataFrame =
+    crawls.reduce(_ unionByName _).distinct()
+
+  /** Graph build with STABLE vertex-id reuse across crawls (the reference's
+    * `--vertex_ids` mode, `build_hostgraph.sh:287-290,376`): names already in
+    * the persisted vertices table keep their ids; only new names get fresh
+    * ids, assigned densely in sort order starting after the existing maximum.
+    * (Id reuse necessarily relaxes invariant B's ids-equal-sort-rank property
+    * for the merged table — exactly as in the reference's merged graphs.)
+    */
+  def buildWithExistingIds(links: DataFrame,
+                           existingVertices: DataFrame): (DataFrame, DataFrame) = {
+    val names = links.select(col("from_host").as("rev_name"))
+      .union(links.select(col("to_host").as("rev_name")))
+      .distinct()
+    val maxId = existingVertices.agg(max("id")).first() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val newNames = names.join(existingVertices, Seq("rev_name"), "left_anti")
+    val newVerts = DenseIds.assign(newNames, "rev_name")
+      .select((col("id") + maxId + 1).as("id"), col("rev_name"))
+    val vertices = existingVertices.select("id", "rev_name").unionByName(newVerts)
+      .localCheckpoint()
+    val edges = links
+      .join(vertices.select(col("rev_name").as("from_host"), col("id").as("from_id")), Seq("from_host"))
+      .join(vertices.select(col("rev_name").as("to_host"), col("id").as("to_id")), Seq("to_host"))
+      .select(col("from_id"), col("to_id"))
+      .filter(col("from_id") =!= col("to_id"))
+      .distinct()
+    (vertices, edges)
+  }
+
+  /** Transpose (F1, `process_webgraph.sh:241-251`): reverse all arcs. */
+  def transpose(edges: DataFrame): DataFrame =
+    edges.select(col("to_id").as("from_id"), col("from_id").as("to_id"))
+
   def build(links: DataFrame): (DataFrame, DataFrame) = {
     val names = links.select(col("from_host").as("rev_name"))
       .union(links.select(col("to_host").as("rev_name")))

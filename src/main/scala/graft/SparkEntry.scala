@@ -265,6 +265,19 @@ object SparkEntry {
       Frontier.run(s, c, fetcher, 3, budgets, robots, priorities)
       Frontier.fetchLog(s, c)
     }),
+    // F3 (approximate path): HyperBall harmonic centrality — HLL register
+    // ball growth. Approximation → rows-only check; accuracy vs exact BFS is
+    // pinned in GraphOpsSpec (<10% relative error).
+    "q_hyperball" -> ((s, dir) => {
+      val nation = s.read.parquet(t(dir, "nation"))
+      val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
+      val chain = nation.filter(col("n_nationkey") % 5 =!= 0)
+        .select(col("n_nationkey").cast("long").as("from_id"),
+                (col("n_nationkey") - 1).cast("long").as("to_id"))
+      HarmonicCentrality.hyperball(nodes, chain, log2m = 10)
+        .select(col("id"), round(col("hc_val").cast("double"), 3).as("hc_val"))
+        .orderBy("id")
+    }),
     // F5: strongly connected components (5-cycles within nation groups)
     "q_scc" -> ((s, dir) => {
       val nation = s.read.parquet(t(dir, "nation"))

@@ -173,7 +173,8 @@ object Frontier {
       when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", lit("/"))
         .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
     withPath
-      .join(robots, Seq("rev_host"), "left_outer")
+      .join(robots.select(col("rev_host"), col("disallow_prefixes")),
+            Seq("rev_host"), "left_outer")
       .filter(col("disallow_prefixes").isNull ||
         !exists(col("disallow_prefixes"), p => col("__path").startsWith(p)))
       .drop("__path", "disallow_prefixes")
@@ -233,7 +234,8 @@ object Frontier {
 
     // ---- politeness selection: salted two-phase per-host token top-k ----
     val withTokens = pending
-      .join(budgets, Seq("rev_host"), "left_outer")
+      .join(budgets.select(col("rev_host"), col("tokens_per_round")),
+            Seq("rev_host"), "left_outer")
       .withColumn("tokens", coalesce(col("tokens_per_round"), lit(c.defaultTokens)))
       .drop("tokens_per_round")
     val salted = withTokens.withColumn("__salt",

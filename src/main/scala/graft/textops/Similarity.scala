@@ -71,6 +71,38 @@ object Similarity {
     signs.reduce(_ + _)
   }
 
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `nCentroids` deterministic probe directions (hash-derived ±1 vectors —
+    * a trained k-means codebook slots in identically). ANN search then only
+    * scans the probe's bucket: the standard inverted-file trade.
+    */
+  def ivfBucket(vecCol: Column, nCentroids: Int, dims: Int): Column = {
+    val scores = (0 until nCentroids).map { c =>
+      val dot = aggregate(
+        zip_with(vecCol, typedLit((0 until dims).map(_.toLong)),
+          (v, i) => v.cast("double") *
+            when(pmod(hash(lit(c), i, lit(7)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      struct(dot.as("dot"), lit(c).as("c"))
+    }
+    greatest(scores: _*).getField("c")
+  }
+
+  /** IVF-bucketed near-neighbor pairs (single-probe): exact cosine within
+    * the assigned bucket only. Complements [[lshPairs]]; both are
+    * recall/cost trades over the same verify kernel.
+    */
+  def ivfPairs(vecs: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCentroids: Int = 16, dims: Int = 64): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      ivfBucket(col(vecCol), nCentroids, dims).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed near-neighbor pairs: exact cosine only within buckets.
     * Approximate (misses cross-bucket pairs) — the standard recall/cost
     * trade; verify-side uses [[cosinePairs]] ground truth.

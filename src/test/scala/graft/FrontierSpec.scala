@@ -26,13 +26,17 @@ class FrontierSpec extends AnyFunSuite {
   lazy val docs = SynthDocs.docs(spark, nDocs, nHosts, seed = 42).toDF()
   lazy val fetcher = new CorpusFetcher(docs)
   lazy val priorities = Frontier.hostPriorities(docs).localCheckpoint()
+  // extra columns (fetched_round metadata of a robots CACHE, budget notes)
+  // must NOT leak into frontier state — Frontier selects what it needs
   lazy val budgets = SynthDocs.politeness(spark, nHosts)
-    .select(gf.reverse_host(col("host")).as("rev_host"), col("tokens_per_round"))
+    .select(gf.reverse_host(col("host")).as("rev_host"), col("tokens_per_round"),
+            lit("note").as("extra_meta"))
     .localCheckpoint()
   lazy val robots = SynthDocs.politeness(spark, nHosts)
     .filter(col("tokens_per_round") === 1)
     .select(gf.reverse_host(col("host")).as("rev_host"),
-            typedLit(Seq("/img/")).as("disallow_prefixes"))
+            typedLit(Seq("/img/")).as("disallow_prefixes"),
+            lit(0).as("fetched_round"))
     .localCheckpoint()
   lazy val seeds = SynthDocs.seeds(spark, 8, nHosts)
 

@@ -76,6 +76,11 @@ class TextOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(brute))
     if (brute.nonEmpty) assert(lsh.nonEmpty, s"recall 0 over ${brute.size} true pairs")
+    // IVF variant: same subset/recall contract through a different quantizer
+    val ivf = Similarity.ivfPairs(e, "vec_id", "embedding", 0.2, nCentroids = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(brute))
+    if (brute.nonEmpty) assert(ivf.nonEmpty, s"IVF recall 0 over ${brute.size} true pairs")
   }
 
   test("quality + langid heuristics") {

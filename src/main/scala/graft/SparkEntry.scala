@@ -265,6 +265,21 @@ object SparkEntry {
       Frontier.run(s, c, fetcher, 3, budgets, robots, priorities)
       Frontier.fetchLog(s, c)
     }),
+    // D1/D2/D3/B4: the flagship PSL domain fold itself, oracle-checked over
+    // derived hosts with single- and multi-part suffixes
+    "q_domain_fold" -> ((s, dir) => {
+      val hosts = s.read.parquet(t(dir, "documents"))
+        .select(
+          when(col("doc_id") % 4 === 0, concat(lit("www."), col("source"), lit(".com")))
+            .when(col("doc_id") % 4 === 1, concat(col("source"), lit(".co.uk")))
+            .when(col("doc_id") % 4 === 2, concat(lit("img."), col("source"), lit(".co.uk")))
+            .otherwise(concat(lit("x.y."), col("source"), lit(".org"))).as("host"))
+        .distinct()
+      val verts = DenseIds.assign(
+        hosts.select(gf.reverse_host(col("host")).as("rev_name")), "rev_name")
+      val emptyEdges = s.range(0).select(col("id").as("from_id"), col("id").as("to_id"))
+      DomainGraph.fold(verts, emptyEdges).vertices.orderBy("id")
+    }),
     // F3 (approximate path): HyperBall harmonic centrality — HLL register
     // ball growth. Approximation → rows-only check; accuracy vs exact BFS is
     // pinned in GraphOpsSpec (<10% relative error).
@@ -460,6 +475,22 @@ object SparkEntry {
         |  CAST(count(DISTINCT CASE WHEN from_in = 0 AND to_in = 1 THEN from_id END) AS BIGINT) AS outer_linking,
         |  round(sum(CASE WHEN from_in = 1 AND to_in = 1 THEN 1 ELSE 0 END) / CAST(50 AS DOUBLE), 6) AS avg_degree
         |FROM t""".stripMargin,
+    "q_domain_fold" ->
+      """WITH hosts AS (SELECT DISTINCT CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'www.' || source || '.com'
+        |    WHEN 1 THEN source || '.co.uk'
+        |    WHEN 2 THEN 'img.' || source || '.co.uk'
+        |    ELSE 'x.y.' || source || '.org' END AS host
+        |  FROM documents),
+        |doms AS (SELECT CASE
+        |    WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+        |    ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+        |  FROM hosts),
+        |rev AS (SELECT array_to_string(list_reverse(string_split(domain, '.')), '.') AS rev_name,
+        |               count(*) AS num_hosts
+        |        FROM doms GROUP BY 1)
+        |SELECT row_number() OVER (ORDER BY rev_name) - 1 AS id, rev_name, num_hosts
+        |FROM rev ORDER BY id""".stripMargin,
     "q_scc" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component

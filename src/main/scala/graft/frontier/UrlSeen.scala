@@ -184,7 +184,8 @@ object UrlSeen {
   def unseen(spark: SparkSession, dir: String, candidates: DataFrame,
              cfg: Config = Config(), useBloom: Boolean = true,
              atSnapshot: Option[Long] = None,
-             blooms: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
+             blooms: Option[Map[Int, Array[Byte]]] = None,
+             broadcastBloom: Boolean = true): DataFrame = {
     // exact layer pinned to the marker's snapshot (crash-replay correctness);
     // the bloom sidecar may be ahead of it — false "maybe seen" answers fall
     // through to the pinned exact anti-join, so staleness cannot corrupt.
@@ -195,16 +196,28 @@ object UrlSeen {
     val withBucket = candidates
       .withColumn("bucket", bucketOf(col("key"), cfg.buckets))
       .withColumn("__h", xxhash64(col("key")))
+    val k = cfg.numHashes
     val pruned =
       if (!useBloom) withBucket.withColumn("__maybe", lit(true))
-      else {
+      else if (broadcastBloom) {
         val bloomMap: Map[Int, Array[Byte]] =
           blooms.getOrElse(readBloomMap(spark, dir))
         val bc = spark.sparkContext.broadcast(bloomMap)
-        val k = cfg.numHashes
         val mightContain = F.udf((bucket: Int, h: Long) =>
           bc.value.get(bucket).exists(bits => bloomMightContain(bits, h, k)))
         withBucket.withColumn("__maybe", mightContain(col("bucket"), col("__h")))
+      } else {
+        // 10^10-scale path: the sidecar (buckets × bits/8 bytes) outgrows a
+        // broadcast (e.g. 4096 buckets × 3 MB ≈ 12 GB at 10^10 keys / 1% FP).
+        // Join candidates against the sidecar TABLE on bucket instead — each
+        // task sees only its bucket's bits; same result, no driver blowup.
+        val sidecar = TableIO.read(spark, s"$dir-bloom")
+        val check = F.udf((bits: Array[Byte], h: Long) =>
+          bits != null && bloomMightContain(bits, h, k))
+        withBucket
+          .join(sidecar, Seq("bucket"), "left_outer")
+          .withColumn("__maybe", coalesce(check(col("bits"), col("__h")), lit(false)))
+          .drop("bits")
       }
     val definitelyNew = pruned.filter(!col("__maybe"))
     val checked = pruned.filter(col("__maybe"))

@@ -122,6 +122,20 @@ class FrontierSpec extends AnyFunSuite {
     assert(expLog.nonEmpty && expSeen.nonEmpty)
   }
 
+  test("join-based bloom path (sidecar too big to broadcast) equals broadcast path") {
+    val dir = Files.createTempDirectory("bloomjoin").toString
+    val c = cfg(dir)
+    UrlSeen.create(spark, s"$dir/seen", c.seenCfg)
+    UrlSeen.append(spark, s"$dir/seen",
+      Seq("com,a)/1", "com,b)/2", "com,c)/3").toDF("key"), c.seenCfg)
+    val cands = Seq("com,a)/1", "com,x)/9", "com,c)/3", "com,y)/8").toDF("key")
+    def keys(broadcast: Boolean) =
+      UrlSeen.unseen(spark, s"$dir/seen", cands, c.seenCfg,
+        broadcastBloom = broadcast).collect().map(_.getString(0)).toSet
+    assert(keys(broadcast = true) == Set("com,x)/9", "com,y)/8"))
+    assert(keys(broadcast = false) == keys(broadcast = true))
+  }
+
   test("bloom pruning does not change results") {
     val dirA = Files.createTempDirectory("frontierA").toString
     val dirB = Files.createTempDirectory("frontierB").toString

@@ -23,7 +23,7 @@ import graft.sources.SynthDocs
 object ScalingBench {
 
   final case class RunResult(cores: Int, wallSec: Double, urls: Long,
-                             candidates: Long, urlsPerSec: Double, candPerSec: Double)
+                             urlsPerSec: Double)
 
   def runOnce(cores: Int, nDocs: Long, nHosts: Int, rounds: Int,
               seeds: Int, tokens: Int): RunResult = {
@@ -60,22 +60,15 @@ object ScalingBench {
       Frontier.init(spark, c, seedDf, priorities, robots)
       val st = Frontier.run(spark, c, fetcher, rounds, budgets, robots, priorities)
       val wall = (System.nanoTime() - t0) / 1e9
-
-      // counters from the committed round markers (lineage metrics)
-      val candidates = (0 until rounds).flatMap { r =>
-        Frontier.lastCommittedAt(spark, c, r)
-      }.map(_.logRows).maxOption.getOrElse(0L)
-      val newUrls = st.logRows
-      RunResult(cores, wall, st.logRows, newUrls,
-        st.logRows / wall, newUrls / wall)
+      RunResult(cores, wall, st.logRows, st.logRows / wall)
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "500000").toLong
-    val nHosts = sys.env.getOrElse("SPARK_GRAFT_SCALE_HOSTS", "5000").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "8000000").toLong
+    val nHosts = sys.env.getOrElse("SPARK_GRAFT_SCALE_HOSTS", "20000").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
-    val seeds = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEEDS", "20000").toInt
+    val seeds = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEEDS", "250000").toInt
     val tokens = sys.env.getOrElse("SPARK_GRAFT_SCALE_TOKENS", "16").toInt
     val lo = runOnce(8, nDocs, nHosts, rounds, seeds, tokens)
     val hi = runOnce(32, nDocs, nHosts, rounds, seeds, tokens)

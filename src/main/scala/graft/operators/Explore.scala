@@ -44,6 +44,13 @@ object Explore {
   def prefixVertices(vertices: DataFrame, prefix: String): DataFrame =
     vertices.filter(col("rev_name").startsWith(prefix)).orderBy("id")
 
+  /** Successor/predecessor ∩ vertex set (C8, `Graph.java:204-206,314-316`). */
+  def successorIntersect(edges: DataFrame, id: Long, set: DataFrame): DataFrame =
+    intersect(successors(edges, id), set)
+
+  def predecessorIntersect(edges: DataFrame, id: Long, set: DataFrame): DataFrame =
+    intersect(predecessors(edges, id), set)
+
   /** Sorted-list intersection/difference (C6/C7, `Graph.java:388-445`). */
   def intersect(a: DataFrame, b: DataFrame): DataFrame =
     a.join(b, Seq("id"), "left_semi").orderBy("id")

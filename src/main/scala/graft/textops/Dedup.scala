@@ -41,9 +41,10 @@ object Dedup {
     Ranks.rowNumber(tokens.select("tok").distinct(), Seq(col("tok").asc), "tid")
 
   /** (doc, tid) pairs. */
-  def docTokenIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docTokens(docs, idCol, textCol).join(vocab(docTokens(docs, idCol, textCol)), "tok")
-      .select(col("doc"), col("tid"))
+  def docTokenIds(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docTokens(docs, idCol, textCol)
+    toks.join(vocab(toks), "tok").select(col("doc"), col("tid"))
+  }
 
   // fixed universal-hash parameters: h_i(t) = (a_i * t + b_i) mod p
   val MinhashP: Long = 2147483647L

@@ -18,4 +18,12 @@ object GraftBridge {
 
   /** Extract the catalyst Expression backing a classic Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder on a LIVE session (the functionRegistry is
+    * `private[sql]`; `spark.sql.extensions` only applies at session build).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

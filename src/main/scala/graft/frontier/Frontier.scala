@@ -193,7 +193,8 @@ object Frontier {
     UrlSeen.append(spark, seenDir(c), pend.select("key"), c.seenCfg, "init:seeds")
     val pSnap = TableIO.write(pend, pendingDir(c), "init:seeds", Map("rows" -> nSeeds))
     import spark.implicits._
-    val emptyLog = Seq.empty[(Int, Long, String)].toDF("round", "seq", "url")
+    val emptyLog = Seq.empty[(Int, Double, String, String)]
+      .toDF("round", "priority", "rev_host", "url")
     val lSnap = TableIO.write(emptyLog, logDir(c), "init")
     val seenSnap = TableIO.currentSnapshot(spark, seenDir(c)).get
     writeMarker(spark, c, State(-1, seenSnap.id, pSnap.id, lSnap.id, 0L),
@@ -254,11 +255,12 @@ object Frontier {
     lap("select")
 
     // ---- deterministic total crawl order ----
-    val logRows =
-      if (nSelected == 0) spark.emptyDataFrame.selectExpr("1 as round", "1L as seq", "'' as url").limit(0)
-      else Ranks.rowNumber(selected,
-          Seq(col("priority").desc, col("rev_host").asc, col("url").asc), "seq")
-        .select(lit(round).as("round"), (col("seq") + st.logRows).as("seq"), col("url"))
+    // the total crawl order is a pure function of the stored sort keys —
+    // materializing seq per round would cost a global-order pass every
+    // round; instead the log stores the keys and fetchLog() ranks once at
+    // export (SURVEY §4: no per-round single-order barrier)
+    val logRows = selected
+      .select(lit(round).as("round"), col("priority"), col("rev_host"), col("url"))
     lap("order")
 
     // ---- fetch + canonicalize + robots + dedup + enqueue ----
@@ -301,11 +303,19 @@ object Frontier {
     (newState, Some(blooms))
   }
 
-  /** The committed fetch log at the last completed round. */
+  /** The committed fetch log at the last completed round, with the
+    * deterministic total crawl order `seq` ranked at export time over the
+    * stored sort keys (round asc, priority desc, rev_host, url).
+    */
   def fetchLog(spark: SparkSession, c: Config): DataFrame = {
     val st = lastCommitted(spark, c).getOrElse(
       throw new IllegalStateException("frontier not initialized"))
-    TableIO.readAt(spark, logDir(c), st.log).orderBy("seq")
+    val raw = TableIO.readAt(spark, logDir(c), st.log)
+    Ranks.rowNumber(raw,
+        Seq(col("round").asc, col("priority").desc, col("rev_host").asc, col("url").asc),
+        "seq")
+      .select(col("round"), col("seq"), col("url"))
+      .orderBy("seq")
   }
 
   /** The committed seen set (canonical keys) at the last completed round. */

@@ -30,17 +30,21 @@ object Bench {
     spark.stop()
 
     // frontier scaling numbers: measured by graft.ScalingBench (8M-doc
-    // corpus, local[8] vs local[32] — BASELINE.md protocol) and committed to
-    // BENCH/BASELINE.md; re-measure live with SPARK_GRAFT_BENCH_SCALING=live
-    // (~15 min). Provenance is recorded in the "source" field.
+    // corpus, local-cluster[1,8,m] vs local-cluster[4,8,m] separate executor
+    // JVMs — BENCH/BASELINE.md protocol) and committed to BENCH/BASELINE.md;
+    // re-measure live with SPARK_GRAFT_BENCH_SCALING=live (~15 min;
+    // requires SPARK_HOME + SPARK_SCALA_VERSION in env). Provenance is
+    // recorded in the "source" field.
     val scaling =
       if (sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("live")) {
         try {
           val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "8000000").toLong
-          val lo = ScalingBench.runOnce(8, nDocs, 20000, rounds = 3, seeds = 250000, tokens = 16)
-          val hi = ScalingBench.runOnce(32, nDocs, 20000, rounds = 3, seeds = 250000, tokens = 16)
+          val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "16384").toInt
+          val in = ScalingBench.prepare(nDocs, 20000, seeds = 250000, tokens = 16)
+          val lo = ScalingBench.runOnce(1, 8, memMb, in, rounds = 3, tokens = 16)
+          val hi = ScalingBench.runOnce(4, 8, memMb, in, rounds = 3, tokens = 16)
           val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
-          f""","frontier":{"source":"live","urls":${hi.urls},"thr_8":${lo.urlsPerSec}%.2f,"thr_32":${hi.urlsPerSec}%.2f,"urls_scheduled_per_sec":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"deterministic":${lo.urls == hi.urls}}"""
+          f""","frontier":{"source":"live","protocol":"local-cluster 1x8 vs 4x8 executor JVMs","urls":${hi.urls},"thr_lo":${lo.urlsPerSec}%.2f,"thr_hi":${hi.urlsPerSec}%.2f,"urls_scheduled_per_sec":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"deterministic":${lo.urls == hi.urls}}"""
         } catch { case e: Throwable =>
           s""","frontier":{"error":"${e.getClass.getSimpleName}"}"""
         }

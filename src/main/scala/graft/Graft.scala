@@ -20,8 +20,9 @@ object Graft {
     */
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               shufflePartitions: Int = 32,
-              appName: String = "graft"): SparkSession = {
-    val b = SparkSession.builder()
+              appName: String = "graft",
+              extraConfigs: Map[String, String] = Map.empty): SparkSession = {
+    val b0 = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -31,6 +32,14 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // Delay-scheduling locality waits trade seconds of idle cores for
+      // network avoidance — the wrong trade on fast-network/NVMe clusters
+      // and pure loss on a single box: tasks stall up to 3s×waves waiting
+      // for a PROCESS_LOCAL slot on whichever executor holds a cached
+      // block. 0 keeps every core busy; shuffle files are served by the
+      // external/worker block manager either way.
+      .config("spark.locality.wait", "0s")
+    val b = extraConfigs.foldLeft(b0) { case (bb, (k, v)) => bb.config(k, v) }
     val withMaster = if (master.nonEmpty) b.master(master) else b
     val spark = withMaster.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

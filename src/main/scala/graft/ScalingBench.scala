@@ -2,65 +2,152 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
+import graft.frontier.{Frontier, CorpusFetcher, TableFetcher, UrlSeen}
 import graft.functions.gf
 import graft.sources.SynthDocs
 
-/** The north_rule scaling criterion, evidenced in-sandbox: the IDENTICAL
-  * frontier job on the IDENTICAL input at two parallelism levels
-  * (local[8] vs local[32] = N vs 4N cores; no real multi-executor cluster
-  * exists here — BASELINE.md protocol), reporting throughput at both and
-  * the scaling efficiency `thr_4N / (4 · thr_N)` (target ≥ 0.8).
+/** The north_rule scaling criterion, evidenced in-sandbox with SEPARATE
+  * EXECUTOR JVMs: the IDENTICAL frontier job on the IDENTICAL input at two
+  * cluster sizes — `local-cluster[1,8,m]` (N = 1 executor × 8 cores) vs
+  * `local-cluster[4,8,m]` (4N = 4 executor JVMs × 8 cores, each its own heap).
+  * This is the truest in-sandbox model of the reference's multi-executor
+  * deployment (`hostgraph_config.sh:84-85` scales executor COUNT, not
+  * threads-per-heap): no real cluster exists here, but local-cluster mode
+  * exercises the standalone Master/Worker, cross-process shuffle, broadcast
+  * and task serialization exactly like a real one. Round 1 measured the
+  * ratio inside ONE shared-heap JVM (local[8] vs local[32]) and hit the
+  * memory-bus/GC ceiling of a single 32-thread heap (efficiency 0.28–0.45;
+  * VERDICT.md r1 "Next round" item 1 prescribes this protocol change).
+  *
+  * Input tables (docs corpus, link pairs, host priorities, politeness
+  * budgets, seeds) are materialized ONCE as parquet by an untimed setup
+  * session and scanned from disk by both cluster sizes — the 100 TB shape
+  * (the corpus is an on-disk table like the north_rule's Iceberg input,
+  * never an executor-cached DataFrame that one heap must hold).
+  *
+  * Reports throughput at both sizes plus scaling efficiency
+  * `thr_4N / (4 · thr_N)` (target ≥ 0.8) over SPARK_GRAFT_SCALE_SAMPLES
+  * independent sample pairs (full record in BENCH/BASELINE.md, median
+  * efficiency is the headline).
+  *
+  * Requires SPARK_HOME=/opt/spark and SPARK_SCALA_VERSION=2.13 in the env
+  * (set by build.sbt `run / envVars`) so the standalone Worker can launch
+  * executor JVMs.
   *
   * `sbt "runMain graft.ScalingBench"` — prints one JSON line and rewrites
-  * BENCH/BASELINE.md. Determinism of the workload itself is already pinned
-  * by FrontierSpec (results are independent of parallelism); this main
-  * measures time only.
+  * BENCH/BASELINE.md. Determinism of the workload itself is pinned by
+  * FrontierSpec (results are independent of parallelism); this main
+  * additionally asserts scheduled-URL count equality between cluster sizes.
   */
 object ScalingBench {
 
-  final case class RunResult(cores: Int, wallSec: Double, urls: Long,
-                             urlsPerSec: Double)
+  final case class RunResult(executors: Int, coresPerExec: Int, wallSec: Double,
+                             urls: Long, urlsPerSec: Double) {
+    def cores: Int = executors * coresPerExec
+  }
 
-  def runOnce(cores: Int, nDocs: Long, nHosts: Int, rounds: Int,
-              seeds: Int, tokens: Int): RunResult = {
-    val spark = Graft.session(s"local[$cores]", shufflePartitions = cores,
-      appName = s"graft-scaling-$cores")
+  /** Paths of the pre-materialized input tables (shared by both sizes). */
+  final case class Prepared(docs: String, pairs: String, priorities: String,
+                            budgets: String, seeds: String)
+
+  /** A session on a local-cluster of `executors` separate executor JVMs. */
+  def clusterSession(executors: Int, coresPerExec: Int, memMb: Int,
+                     appName: String): SparkSession = {
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster mode needs SPARK_HOME (build.sbt run/envVars sets it)")
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    Graft.session(
+      master = s"local-cluster[$executors,$coresPerExec,$memMb]",
+      shufflePartitions = executors * coresPerExec,
+      appName = appName,
+      extraConfigs = Map(
+        "spark.executor.extraClassPath" -> classesDir,
+        // local-cluster's third arg is only the WORKER's capacity; the
+        // executor JVM heap itself is spark.executor.memory (default 1g)
+        "spark.executor.memory" -> s"${memMb}m"))
+  }
+
+  /** Untimed setup: synthesize and write all input tables once (local[32] —
+    * setup speed is not part of the measurement).
+    */
+  def prepare(nDocs: Long, nHosts: Int, seeds: Int, tokens: Int): Prepared = {
+    val base = Files.createTempDirectory("graft_scale_input").toString
+    val p = Prepared(s"$base/docs", s"$base/pairs", s"$base/priorities",
+      s"$base/budgets", s"$base/seeds")
+    val spark = Graft.session(master = "local[32]", shufflePartitions = 32,
+      appName = "graft-scaling-setup")
+    try {
+      val docs = SynthDocs.docs(spark, nDocs, nHosts, partitions = 128).toDF()
+      docs.write.parquet(p.docs)
+      val docsT = spark.read.parquet(p.docs)
+      CorpusFetcher.pairsOf(docsT).write.parquet(p.pairs)
+      Frontier.hostPriorities(docsT, exactThreshold = 500).write.parquet(p.priorities)
+      SynthDocs.politeness(spark, nHosts)
+        .select(gf.reverse_host(col("host")).as("rev_host"),
+          (col("tokens_per_round") * tokens).as("tokens_per_round"))
+        .write.parquet(p.budgets)
+      SynthDocs.seeds(spark, seeds, nHosts).write.parquet(p.seeds)
+    } finally spark.stop()
+    p
+  }
+
+  def runOnce(executors: Int, coresPerExec: Int, memMb: Int,
+              in: Prepared, rounds: Int, tokens: Int): RunResult = {
+    val spark = clusterSession(executors, coresPerExec, memMb,
+      appName = s"graft-scaling-${executors}x$coresPerExec")
+    if (sys.env.contains("GRAFT_JOBLOG")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val names = js.stageInfos.map(si => s"${si.name}(${si.numTasks})").mkString(" | ")
+          starts.put(js.jobId, (js.time, names))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, names) = starts.getOrDefault(je.jobId, (je.time, "?"))
+          val dur = (je.time - t0) / 1000.0
+          if (dur > 0.3) System.err.println(f"[job] id=${je.jobId}%3d ${dur}%6.2fs $names")
+        }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+          if (dur > 1.0) System.err.println(
+            f"[stage] id=${si.stageId}%3d ${dur}%6.2fs tasks=${si.numTasks}%3d " +
+            f"in=${m.inputMetrics.bytesRead / 1e6}%.0fMB rec=${m.inputMetrics.recordsRead} " +
+            f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB " +
+            f"cpu=${m.executorRunTime / 1000.0}%.1fs gc=${m.jvmGCTime / 1000.0}%.1fs ${si.name.take(70)}")
+        }
+      })
+    }
+    val cores = executors * coresPerExec
     try {
       val dir = Files.createTempDirectory(s"graft_scale_$cores").toString
       val c = Frontier.Config(dir, defaultTokens = tokens, saltBuckets = 16,
         seenCfg = UrlSeen.Config(buckets = 32, bitsPerBucket = 1 << 20, numHashes = 7))
-      val docs = SynthDocs.docs(spark, nDocs, nHosts, partitions = cores * 4).toDF()
-        .persist()
-      docs.count() // corpus materialization excluded from the timed window
-      val fetcher = new CorpusFetcher(docs)
-      fetcher.pairs.count()
-      val priorities = Frontier.hostPriorities(docs, exactThreshold = 500).localCheckpoint()
-      val budgets = SynthDocs.politeness(spark, nHosts)
-        .select(gf.reverse_host(col("host")).as("rev_host"),
-          (col("tokens_per_round") * tokens).as("tokens_per_round"))
-        .localCheckpoint()
+      val fetcher = new TableFetcher(spark.read.parquet(in.pairs))
+      val priorities = spark.read.parquet(in.priorities)
+      val budgets = spark.read.parquet(in.budgets)
       val robots = spark.emptyDataFrame
         .selectExpr("'' as rev_host", "array('') as disallow_prefixes").limit(0)
         .localCheckpoint()
-      val seedDf = SynthDocs.seeds(spark, seeds, nHosts)
+      val seedDf = spark.read.parquet(in.seeds)
 
       // untimed warmup round on a scratch dir: JIT + codegen + shuffle
       // machinery warm before the measured window (standard JVM bench
-      // hygiene; both parallelism levels get the same treatment)
+      // hygiene; both cluster sizes get the same treatment)
       val warmDir = Files.createTempDirectory(s"graft_warm_$cores").toString
       val wc = c.copy(rootDir = warmDir)
-      Frontier.init(spark, wc, seedDf.limit(200), priorities, robots)
-      Frontier.run(spark, wc, fetcher, 1, budgets, robots, priorities)
+      Frontier.init(spark, wc, seedDf.limit(20000), priorities, robots)
+      Frontier.run(spark, wc, fetcher, 2, budgets, robots, priorities)
 
       val t0 = System.nanoTime()
       Frontier.init(spark, c, seedDf, priorities, robots)
       val st = Frontier.run(spark, c, fetcher, rounds, budgets, robots, priorities)
       val wall = (System.nanoTime() - t0) / 1e9
-      RunResult(cores, wall, st.logRows, st.logRows / wall)
+      RunResult(executors, coresPerExec, wall, st.logRows, st.logRows / wall)
     } finally spark.stop()
   }
 
@@ -70,30 +157,54 @@ object ScalingBench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     val seeds = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEEDS", "250000").toInt
     val tokens = sys.env.getOrElse("SPARK_GRAFT_SCALE_TOKENS", "16").toInt
-    val lo = runOnce(8, nDocs, nHosts, rounds, seeds, tokens)
-    val hi = runOnce(32, nDocs, nHosts, rounds, seeds, tokens)
-    require(lo.urls == hi.urls,
-      s"determinism violation: local[8] scheduled ${lo.urls} URLs, local[32] ${hi.urls}")
-    val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
+    val samples = sys.env.getOrElse("SPARK_GRAFT_SCALE_SAMPLES", "3").toInt
+    val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "12288").toInt
+    val cpe = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "4").toInt
+
+    val in = prepare(nDocs, nHosts, seeds, tokens)
+    val pairs = (1 to samples).map { i =>
+      val lo = runOnce(1, cpe, memMb, in, rounds, tokens)
+      val hi = runOnce(4, cpe, memMb, in, rounds, tokens)
+      require(lo.urls == hi.urls,
+        s"determinism violation: 1x$cpe scheduled ${lo.urls} URLs, 4x$cpe ${hi.urls}")
+      val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
+      System.err.println(f"[scaling] sample $i: lo=${lo.wallSec}%.1fs hi=${hi.wallSec}%.1fs eff=$eff%.3f")
+      (lo, hi, eff)
+    }
+    val sorted = pairs.sortBy(_._3)
+    val (mlo, mhi, meff) = sorted(sorted.size / 2) // median-efficiency sample
     val json =
-      f"""{"metric":"urls_scheduled_per_sec","value":${hi.urlsPerSec}%.2f,"unit":"urls/sec","cores_lo":8,"cores_hi":32,"urls":${hi.urls},"wall_lo_sec":${lo.wallSec}%.2f,"wall_hi_sec":${hi.wallSec}%.2f,"thr_lo":${lo.urlsPerSec}%.2f,"thr_hi":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"docs":$nDocs,"rounds":$rounds}"""
+      f"""{"metric":"urls_scheduled_per_sec","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds}"""
     println(json)
+    val sampleRows = pairs.zipWithIndex.map { case ((lo, hi, eff), i) =>
+      f"| ${i + 1} | ${lo.wallSec}%.1f | ${lo.urlsPerSec}%.1f | ${hi.wallSec}%.1f | ${hi.urlsPerSec}%.1f | $eff%.3f |"
+    }.mkString("\n")
     val md =
-      f"""# BENCH — frontier scaling (N vs 4N cores)
+      f"""# BENCH — frontier scaling (N vs 4N executors, separate JVMs)
          |
-         |Protocol (BASELINE.md): identical frontier job, identical input
-         |(${nDocs} synthetic interleaved docs, $nHosts hosts, $rounds rounds,
-         |$seeds seeds), run at local[8] and local[32] on a 32-core box.
-         |Determinism asserted: both runs schedule the same ${hi.urls} URLs in
-         |the same order (FrontierSpec pins order equality vs a sequential
-         |oracle; this run asserts count equality).
+         |Protocol (BASELINE.md; VERDICT.md r1 item 1): identical frontier job,
+         |identical input ($nDocs synthetic interleaved docs, $nHosts hosts,
+         |$rounds rounds, $seeds seeds — materialized once as parquet and
+         |scanned from disk by both sizes), run on `local-cluster[1,$cpe,$memMb]`
+         |(N = 1 executor JVM × $cpe cores) vs `local-cluster[4,$cpe,$memMb]`
+         |(4N = 4 executor JVMs × $cpe cores each) on a 32-core box — the
+         |standalone Master/Worker launch real separate executor processes, so
+         |shuffle/broadcast/task-dispatch cross process boundaries exactly as
+         |on a multi-node cluster, and no single shared heap caps the 32-core
+         |run (round 1's local[8]-vs-local[32] single-JVM protocol measured the
+         |memory-bus/GC ceiling of one heap, eff 0.28–0.45, not the engine).
          |
-         || cores | wall (s) | URLs scheduled | urls/sec |
-         ||---|---|---|---|
-         || 8  | ${lo.wallSec}%.1f | ${lo.urls} | ${lo.urlsPerSec}%.1f |
-         || 32 | ${hi.wallSec}%.1f | ${hi.urls} | ${hi.urlsPerSec}%.1f |
+         |Determinism asserted per sample: both cluster sizes schedule the same
+         |${mhi.urls} URLs (FrontierSpec pins full order equality vs a
+         |sequential oracle; this run asserts count equality).
          |
-         |**scaling_efficiency = thr_32 / (4 × thr_8) = $eff%.3f** (target ≥ 0.8)
+         |$samples independent sample pairs (alternating N, 4N):
+         |
+         || sample | wall N (s) | urls/s N | wall 4N (s) | urls/s 4N | efficiency |
+         ||---|---|---|---|---|---|
+         |$sampleRows
+         |
+         |**median scaling_efficiency = thr_4N / (4 × thr_N) = $meff%.3f** (target ≥ 0.8)
          |
          |```json
          |$json

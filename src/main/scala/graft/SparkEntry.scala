@@ -280,20 +280,31 @@ object SparkEntry {
       val emptyEdges = s.range(0).select(col("id").as("from_id"), col("id").as("to_id"))
       DomainGraph.fold(verts, emptyEdges).vertices.orderBy("id")
     }),
-    // F3 (approximate path): HyperBall harmonic centrality — HLL register
-    // ball growth. Approximation → rows-only check; accuracy vs exact BFS is
-    // pinned in GraphOpsSpec (<10% relative error).
+    // F3 (approximate path): HyperBall harmonic centrality. The query emits
+    // the ERROR GATE itself — per-node HLL estimate vs exact BFS, counting
+    // nodes within 10% relative error — so the oracle (which asserts ALL
+    // nodes pass) fails if the estimator regresses (VERDICT r1 item 6).
     "q_hyperball" -> ((s, dir) => {
       val nation = s.read.parquet(t(dir, "nation"))
       val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
       val chain = nation.filter(col("n_nationkey") % 5 =!= 0)
         .select(col("n_nationkey").cast("long").as("from_id"),
                 (col("n_nationkey") - 1).cast("long").as("to_id"))
-      HarmonicCentrality.hyperball(nodes, chain, log2m = 10)
-        .select(col("id"), round(col("hc_val").cast("double"), 3).as("hc_val"))
-        .orderBy("id")
+      val est = HarmonicCentrality.hyperball(nodes, chain, log2m = 10)
+        .select(col("id"), col("hc_val").cast("double").as("est"))
+      val exact = HarmonicCentrality.exact(nodes, chain)
+        .select(col("id"), col("hc_val").as("ex"))
+      // 10% relative, with a 0.01 absolute floor for hc = 0 nodes (relative
+      // error is undefined at zero; the HLL emits ~5e-4 there)
+      est.join(exact, "id")
+        .select((abs(col("est") - col("ex")) <=
+          greatest(col("ex") * 0.1, lit(0.01))).as("ok"))
+        .agg(count(lit(1)).as("n_nodes"),
+             sum(col("ok").cast("long")).as("n_within_10pct"))
     }),
-    // F5: strongly connected components (5-cycles within nation groups)
+    // F5: strongly connected components (5-cycles within nation groups) via
+    // the DISTRIBUTED trim+coloring path (O(V+E) state); Scc.exact remains
+    // the small-scale oracle (SccSpec pins equality on random graphs).
     "q_scc" -> ((s, dir) => {
       val nation = s.read.parquet(t(dir, "nation"))
       val nodes = nation.select(col("n_nationkey").cast("long").as("id"))
@@ -301,7 +312,45 @@ object SparkEntry {
         col("n_nationkey").cast("long").as("from_id"),
         (col("n_nationkey") - (col("n_nationkey") % 5) +
           ((col("n_nationkey") % 5) + 1) % 5).cast("long").as("to_id"))
-      graft.operators.Scc.exact(nodes, cycle).orderBy("id")
+      graft.operators.Scc.coloring(nodes, cycle).orderBy("id")
+    }),
+    // F2 personalized: PageRank with preference vector + dangling-mass
+    // redistribution (LAW strongly-preferential, CreatePreferenceVector
+    // semantics) — fixed 3 iterations so the oracle chains the same CTEs
+    "q_pagerank_pref" -> ((s, dir) => {
+      val (nodes, edges) = nationGraph(s, dir)
+      val pref = nodes.select(col("id"),
+        when(col("id") < 5, lit(0.2)).otherwise(lit(0.0)).as("pref"))
+      PageRank.runFixed(nodes, edges, iterations = 3,
+          preference = Some(pref), redistributeDangling = true)
+        .select(col("id"), round(col("pr_val"), 6).as("pr_val"))
+        .orderBy("id")
+    }),
+    // C1: the edge-endpoint remap join of the domain fold, oracle-checked
+    // with a NON-EMPTY edge set (remap + self-loop drop + dedup,
+    // HostToDomainGraph.java:471-487; VERDICT r1 item 2)
+    "q_domain_edges" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      def shape(k: org.apache.spark.sql.Column, src: org.apache.spark.sql.Column) =
+        when(k === 0, concat(lit("www."), src, lit(".com")))
+          .when(k === 1, concat(src, lit(".co.uk")))
+          .when(k === 2, concat(lit("img."), src, lit(".co.uk")))
+          .otherwise(concat(lit("x.y."), src, lit(".org")))
+      val hosts = docs.select(shape(col("doc_id") % 4, col("source")).as("host")).distinct()
+      val verts = DenseIds.assign(
+        hosts.select(gf.reverse_host(col("host")).as("rev_name")), "rev_name")
+      // host-level edges: each doc links its own host shape to the next
+      // shape of the same source — yields cross-domain arcs, same-domain
+      // arcs (must fold to dropped self-loops) and duplicates (must dedup)
+      val hostEdges = docs.select(
+          gf.reverse_host(shape(col("doc_id") % 4, col("source"))).as("from_rev"),
+          gf.reverse_host(shape((col("doc_id") + 1) % 4, col("source"))).as("to_rev"))
+        .distinct()
+      val edges = hostEdges
+        .join(verts.select(col("rev_name").as("from_rev"), col("id").as("from_id")), Seq("from_rev"))
+        .join(verts.select(col("rev_name").as("to_rev"), col("id").as("to_id")), Seq("to_rev"))
+        .select("from_id", "to_id")
+      DomainGraph.fold(verts, edges).edges.orderBy("from_id", "to_id")
     }),
     // B8/E6: degree-threshold top-k report (process_webgraph.sh:163-176)
     "q_top_degrees" -> ((s, dir) => {
@@ -337,6 +386,37 @@ object SparkEntry {
       ConnectedComponents.sizes(ConnectedComponents.weak(nodes, chain))
     })
   )
+
+  /** q_pagerank_pref oracle: 3 chained power-iteration CTEs with the
+    * strongly-preferential update — teleport AND per-iteration dangling mass
+    * both distributed by the preference vector (mirrors PageRank.runFixed
+    * with redistributeDangling = true).
+    */
+  private val pagerankPrefOracle: String = {
+    val iters = (1 to 3).map { i =>
+      s"""d$i AS (SELECT coalesce(sum(pr), 0) AS dm FROM r${i - 1}
+         |  WHERE id NOT IN (SELECT from_id FROM deg)),
+         |r$i AS (SELECT n.id, (0.15 + 0.85 * (SELECT dm FROM d$i)) * p.pref
+         |         + 0.85 * coalesce(sum(r.pr / d.outdeg), 0) AS pr
+         |       FROM nodes n JOIN prefs p ON p.id = n.id
+         |       LEFT JOIN edges e ON e.to_id = n.id
+         |       LEFT JOIN r${i - 1} r ON r.id = e.from_id
+         |       LEFT JOIN deg d ON d.from_id = e.from_id GROUP BY n.id, p.pref)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+       |edges AS (SELECT DISTINCT from_id, to_id FROM (
+       |    SELECT CAST(n_nationkey AS BIGINT) AS from_id,
+       |           CAST(n_nationkey - 1 AS BIGINT) AS to_id
+       |    FROM nation WHERE n_nationkey % 5 <> 0
+       |    UNION ALL
+       |    SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey * 5 AS BIGINT)
+       |    FROM nation) WHERE from_id <> to_id),
+       |deg AS (SELECT from_id, count(*) AS outdeg FROM edges GROUP BY 1),
+       |prefs AS (SELECT id, CASE WHEN id < 5 THEN 0.2 ELSE 0.0 END AS pref FROM nodes),
+       |r0 AS (SELECT id, pref AS pr FROM prefs),
+       |$iters
+       |SELECT id, round(pr, 6) AS pr_val FROM r3 ORDER BY id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = TextQueries.oracleSql ++ Map(
     "q_agg" ->
@@ -495,6 +575,49 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component
         |FROM nation ORDER BY 1""".stripMargin,
+    // asserts EVERY node's HLL estimate lands within 10% of exact — a
+    // count-matching regression of the estimator breaks the value hash
+    "q_hyperball" ->
+      "SELECT count(*) AS n_nodes, count(*) AS n_within_10pct FROM nation",
+    "q_pagerank_pref" -> pagerankPrefOracle,
+    "q_domain_edges" ->
+      """WITH fh AS (SELECT DISTINCT CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'www.' || source || '.com'
+        |    WHEN 1 THEN source || '.co.uk'
+        |    WHEN 2 THEN 'img.' || source || '.co.uk'
+        |    ELSE 'x.y.' || source || '.org' END AS host
+        |  FROM documents),
+        |verts AS (SELECT row_number() OVER (ORDER BY rev_name) - 1 AS id, rev_name
+        |  FROM (SELECT DISTINCT array_to_string(list_reverse(string_split(host, '.')), '.') AS rev_name
+        |        FROM fh)),
+        |hd AS (SELECT array_to_string(list_reverse(string_split(host, '.')), '.') AS rev_name,
+        |              array_to_string(list_reverse(string_split(CASE
+        |                WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+        |                ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END, '.')), '.') AS domain_rev
+        |       FROM fh),
+        |domverts AS (SELECT row_number() OVER (ORDER BY domain_rev) - 1 AS id, domain_rev
+        |  FROM (SELECT DISTINCT domain_rev FROM hd)),
+        |mapping AS (SELECT v.id AS host_id, d.id AS domain_id
+        |  FROM verts v JOIN hd h ON h.rev_name = v.rev_name
+        |  JOIN domverts d ON d.domain_rev = h.domain_rev),
+        |he AS (SELECT DISTINCT
+        |    array_to_string(list_reverse(string_split(CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'www.' || source || '.com' WHEN 1 THEN source || '.co.uk'
+        |      WHEN 2 THEN 'img.' || source || '.co.uk'
+        |      ELSE 'x.y.' || source || '.org' END, '.')), '.') AS from_rev,
+        |    array_to_string(list_reverse(string_split(CASE CAST((doc_id + 1) % 4 AS INT)
+        |      WHEN 0 THEN 'www.' || source || '.com' WHEN 1 THEN source || '.co.uk'
+        |      WHEN 2 THEN 'img.' || source || '.co.uk'
+        |      ELSE 'x.y.' || source || '.org' END, '.')), '.') AS to_rev
+        |  FROM documents),
+        |edges AS (SELECT fv.id AS from_id, tv.id AS to_id
+        |  FROM he JOIN verts fv ON fv.rev_name = he.from_rev
+        |  JOIN verts tv ON tv.rev_name = he.to_rev)
+        |SELECT DISTINCT m1.domain_id AS from_id, m2.domain_id AS to_id
+        |FROM edges e JOIN mapping m1 ON m1.host_id = e.from_id
+        |JOIN mapping m2 ON m2.host_id = e.to_id
+        |WHERE m1.domain_id <> m2.domain_id
+        |ORDER BY from_id, to_id""".stripMargin,
     "q_top_degrees" ->
       """SELECT from_id AS id, count(*) AS outdeg
         |FROM (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id FROM lineitem)

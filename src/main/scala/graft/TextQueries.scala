@@ -54,6 +54,24 @@ object TextQueries {
       Similarity.lshPairs(embs(s, dir).filter(col("vec_id") < 500),
         "vec_id", "embedding", threshold = 0.2).orderBy("id_a", "id_b")
     }),
+    // multi-probe LSH top-k vs brute-force baseline: the DuckDB oracle
+    // replicates BOTH paths end-to-end (arithmetic hyperplane signs), so
+    // the recall of the bucketed scale path is itself oracle-checked
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 500)
+      val q = e.filter(col("vec_id") < 50)
+      val brute = Similarity.topK(q, e, "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 10,
+        planes = 6, dims = 64, maxHamming = 2)
+      val hits = brute
+        .join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left_outer")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+             round(sum("hits") / (count(lit(1)) * 10.0), 4).as("avg_recall"))
+    }),
     // token counting (whitespace + BPE-ish regex)
     "q_token_count" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -84,6 +102,22 @@ object TextQueries {
       import graft.sources.SynthDocs
       Multimodal.featurize(Multimodal.mediaTable(SynthDocs.docs(s, 500, 40).toDF()))
         .select(col("media_id"), col("kind"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+    // REAL image decode: encode deterministic PNGs with javax.imageio, then
+    // decode the container header back — width/height are oracle-computable
+    // from doc_id arithmetic, so a decode regression breaks the hash
+    "q_media_decode" -> ((s, dir) => {
+      val media = docs(s, dir).filter(col("doc_id") < 300)
+        .select(concat(lit("img-"), col("doc_id"), lit(".png")).as("media_id"),
+          Multimodal.encodePng(
+            (lit(16) + col("doc_id") % 48).cast("int"),
+            (lit(16) + (col("doc_id") * 7) % 48).cast("int"),
+            col("doc_id").cast("long")).as("bytes"))
+      media
+        .withColumn("decoded", Multimodal.decodeImage(col("bytes")))
+        .select(col("media_id"), col("decoded._1").as("format"),
+          col("decoded._2").as("width"), col("decoded._3").as("height"))
         .orderBy("media_id")
     })
   )
@@ -178,6 +212,45 @@ object TextQueries {
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
         |  FROM scored)
         |SELECT qid, rank, cid, cos FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_recall" ->
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings WHERE vec_id < 500),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY 1),
+        |bdots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 50 AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |brute AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid ASC) AS rank
+        |  FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+        |  WHERE rank <= 10),
+        |pd AS (SELECT vec_id, p, sum(x * (CASE WHEN ((p+1)*1315423911 + i*2654435761)
+        |    % 1000003 % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS dot
+        |  FROM el CROSS JOIN UNNEST(range(0, 6)) AS pp(p) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, CAST(sum(CASE WHEN round(dot, 9) > 0
+        |    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket FROM pd GROUP BY 1),
+        |probes AS (SELECT b.vec_id AS qid, xor(b.bucket, CAST(f AS BIGINT)) AS bucket
+        |  FROM buck b CROSS JOIN UNNEST([PROBE_MASKS]) AS ff(f)
+        |  WHERE b.vec_id < 50),
+        |cand AS (SELECT p.qid, cb.vec_id AS cid
+        |  FROM probes p JOIN buck cb ON cb.bucket = p.bucket AND cb.vec_id <> p.qid),
+        |adots AS (SELECT t.qid, t.cid, sum(q.x * c.x) AS dot
+        |  FROM cand t JOIN el q ON q.vec_id = t.qid
+        |  JOIN el c ON c.vec_id = t.cid AND c.i = q.i GROUP BY 1, 2),
+        |approx AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid ASC) AS rank
+        |  FROM adots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+        |  WHERE rank <= 10),
+        |hits AS (SELECT b.qid, count(*) AS hits FROM brute b
+        |  JOIN approx a ON a.qid = b.qid AND a.cid = b.cid GROUP BY 1),
+        |qs AS (SELECT DISTINCT vec_id AS qid FROM el WHERE vec_id < 50)
+        |SELECT count(*) AS n_queries,
+        |  round(sum(coalesce(h.hits, 0)) / (count(*) * 10.0), 4) AS avg_recall
+        |FROM qs LEFT JOIN hits h USING (qid)""".stripMargin
+        .replace("PROBE_MASKS",
+          graft.textops.Similarity.probeMasks(6, 2).mkString(",")),
     "q_token_count" ->
       """SELECT doc_id, len(string_split(trim(text), ' ')) AS wc,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS subwords
@@ -211,6 +284,11 @@ object TextQueries {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM h)
         |SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang, count(*) AS cnt
         |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_media_decode" ->
+      """SELECT 'img-' || doc_id || '.png' AS media_id, 'png' AS format,
+        |  CAST(16 + doc_id % 48 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 48 AS INT) AS height
+        |FROM documents WHERE doc_id < 300 ORDER BY media_id""".stripMargin,
     "q_fingerprint" ->
       """WITH pt AS (SELECT doc_id AS doc, unnest(string_split(lower(trim(text)), ' ')) AS tok,
         |                   generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos

@@ -123,17 +123,25 @@ object UrlSeen {
     // Directory partitioning would break multi-snapshot reads (the initial
     // empty snapshot has no partition dirs) for no pruning gain: candidate
     // batches hash into every bucket anyway.
+    // persisted (serialized) for the two consumers — counters+blooms agg and
+    // the table append — then released: per-round deltas must not pile up in
+    // executor storage over a long crawl.
     val bucketed = keys.select(bucketOf(col("key"), cfg.buckets).as("bucket"), col("key"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "key")
-      .localCheckpoint() // computed once: counters+blooms agg, then write
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bloomAgg = F.udaf(new BloomAgg(cfg.bitsPerBucket, cfg.numHashes))
     val deltaStats = bucketed
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), bloomAgg(xxhash64(col("key"))).as("bits"))
       .collect()
     val perBucket = deltaStats.map(r => s"bucket.${r.getInt(0)}" -> r.getLong(1)).toMap
-    val snap = TableIO.append(bucketed, dir, lineage, perBucket, parentId)
+    // the table append and the sidecar write are independent outputs — run
+    // the append concurrently with the driver-side bloom merge + write
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fAppend = Future { TableIO.append(bucketed, dir, lineage, perBucket, parentId) }
     val prev = prevBlooms.getOrElse(readBloomMap(spark, dir))
     val merged = scala.collection.mutable.Map[Int, Array[Byte]](prev.toSeq: _*)
     deltaStats.foreach { r =>
@@ -154,6 +162,8 @@ object UrlSeen {
     val mergedDf = merged.toSeq.map { case (b, bits) => (b, bits) }
       .toDF("bucket", "bits")
     TableIO.write(mergedDf, s"$dir-bloom", lineage = "urlseen:bloom")
+    val snap = Await.result(fAppend, Duration.Inf)
+    bucketed.unpersist(blocking = false)
     (snap, merged.toMap)
   }
 

@@ -78,28 +78,46 @@ object PageRank {
   }
 
   /** Fixed-iteration variant with no convergence check — one job per
-    * iteration, no extra delta pass. Used by the oracle-checked query (the
+    * iteration, no extra delta pass. Used by the oracle-checked queries (the
     * DuckDB oracle chains the same k steps as CTEs).
+    *
+    * With `preference` (LAW strongly-preferential semantics,
+    * `CreatePreferenceVector.java:21-25`): teleport mass AND dangling-node
+    * mass are both distributed by the preference vector —
+    * pr' = (1-α)·pref + α·(dangling·pref + Σ in_mass).
     */
   def runFixed(vertices: DataFrame, edges: DataFrame, iterations: Int,
-               alpha: Double = 0.85): DataFrame = {
+               alpha: Double = 0.85,
+               preference: Option[DataFrame] = None,
+               redistributeDangling: Boolean = false): DataFrame = {
     val n = vertices.count()
     val outDeg = edges.groupBy("from_id").agg(count(lit(1)).as("outdeg"))
     val edgesDeg = edges.join(outDeg, "from_id")
       .select(col("from_id"), col("to_id"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.select(col("id"), lit(1.0 / n).as("pr_val"))
+    val pref = preference
+      .getOrElse(vertices.select(col("id"), lit(1.0 / n).as("pref")))
+      .select(col("id"), col("pref"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = pref.select(col("id"), col("pref").as("pr_val")).localCheckpoint()
     (1 to iterations).foreach { _ =>
       val contrib = edgesDeg
         .join(ranks, edgesDeg("from_id") === ranks("id"))
         .groupBy(col("to_id").as("id"))
         .agg(sum(col("pr_val") / col("outdeg")).as("in_mass"))
-      ranks = vertices.select(col("id"))
+      val danglingMass =
+        if (!redistributeDangling) 0.0
+        else ranks.join(outDeg, ranks("id") === outDeg("from_id"), "left_anti")
+          .agg(coalesce(sum("pr_val"), lit(0.0))).first().getDouble(0)
+      ranks = pref
         .join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
-          (lit((1.0 - alpha) / n) +
+          ((lit(1.0 - alpha) + lit(alpha * danglingMass)) * col("pref") +
             lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
+        .localCheckpoint()
     }
+    edgesDeg.unpersist()
+    pref.unpersist()
     ranks
   }
 }

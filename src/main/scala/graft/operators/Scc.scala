@@ -43,4 +43,103 @@ object Scc {
   /** Size distribution report, as consumed by `process_webgraph.sh:179-189`. */
   def sizeDistribution(components: DataFrame): DataFrame =
     ConnectedComponents.sizeDistribution(components)
+
+  /** Distributed SCC: trimming + forward-max coloring (Orzan), the scale
+    * path for the reference's `StronglyConnectedComponents` capability on
+    * 100M+-node graphs (`process_webgraph.sh:270-272`). State is O(V+E) —
+    * no transitive-closure pair explosion (contrast [[exact]], kept as the
+    * small-scale oracle; SccSpec pins equality on seeded random graphs).
+    *
+    * Per sweep, ALL colors advance together in one DataFrame fixpoint:
+    *  1. TRIM — nodes with no in- or out-arcs inside the active set are
+    *     singleton SCCs; iterate (kills the long tail of a web graph).
+    *  2. COLOR — propagate `color(v) = max(v, max color of in-neighbors)`
+    *     to fixpoint (forward reachability partition).
+    *  3. HARVEST — backward BFS from each color root within its own color:
+    *     those nodes are exactly root's SCC; emit, deactivate, repeat.
+    *
+    * Output: (id, component) with component = min id in the SCC — the same
+    * contract as [[exact]].
+    */
+  def coloring(vertices: DataFrame, edges: DataFrame,
+               maxSweeps: Int = 64, maxHops: Int = 256): DataFrame = {
+    val e0 = edges.select(col("from_id"), col("to_id"))
+      .filter(col("from_id") =!= col("to_id")).distinct()
+    var active = vertices.select(col("id")).localCheckpoint()
+    var result = vertices.select(col("id"), col("id").as("component")).limit(0)
+      .localCheckpoint()
+    var sweep = 0
+    var remaining = active.count()
+    while (remaining > 0 && sweep < maxSweeps) {
+      sweep += 1
+      // edges inside the active set
+      var e = e0
+        .join(active.select(col("id").as("from_id")), Seq("from_id"), "left_semi")
+        .join(active.select(col("id").as("to_id")), Seq("to_id"), "left_semi")
+        .localCheckpoint()
+      // 1. trim: repeatedly peel sources/sinks — each is its own SCC
+      var trimmed = 1L
+      while (trimmed > 0 && remaining > 0) {
+        val live = active
+          .join(e.select(col("from_id").as("id")).distinct(), Seq("id"), "left_semi")
+          .join(e.select(col("to_id").as("id")).distinct(), Seq("id"), "left_semi")
+          .localCheckpoint()
+        val nLive = live.count()
+        trimmed = remaining - nLive
+        if (trimmed > 0) {
+          val singles = active.join(live, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("component"))
+          result = result.union(singles).localCheckpoint()
+          active = live
+          remaining = nLive
+          e = e
+            .join(active.select(col("id").as("from_id")), Seq("from_id"), "left_semi")
+            .join(active.select(col("id").as("to_id")), Seq("to_id"), "left_semi")
+            .localCheckpoint()
+        }
+      }
+      if (remaining > 0) {
+        // 2. forward max-color fixpoint
+        var color = active.select(col("id"), col("id").as("color")).localCheckpoint()
+        var changed = 1L
+        var hops = 0
+        while (changed > 0 && hops < maxHops) {
+          hops += 1
+          val prop = color.join(e, color("id") === e("from_id"))
+            .groupBy(col("to_id").as("id"))
+            .agg(max("color").as("in_color"))
+          val next = color.join(prop, Seq("id"), "left_outer")
+            .select(col("id"),
+              greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
+            .localCheckpoint()
+          changed = next.join(color.withColumnRenamed("color", "old"), Seq("id"))
+            .filter(col("color") =!= col("old")).count()
+          color = next
+        }
+        // 3. backward closure from roots, constrained to the root's color
+        var members = color.filter(col("id") === col("color")).localCheckpoint()
+        var frontier = members
+        var n = frontier.count()
+        while (n > 0) {
+          val step = frontier.join(e, frontier("id") === e("to_id"))
+            .select(col("from_id").as("id"), col("color")).distinct()
+          val sameColor = step
+            .join(color.withColumnRenamed("color", "c2"), Seq("id"))
+            .filter(col("color") === col("c2"))
+            .select("id", "color")
+          frontier = sameColor.join(members, Seq("id"), "left_anti").localCheckpoint()
+          n = frontier.count()
+          if (n > 0) members = members.union(frontier).localCheckpoint()
+        }
+        val comp = members.groupBy("color").agg(min("id").as("component"))
+        result = result
+          .union(members.join(comp, Seq("color")).select(col("id"), col("component")))
+          .localCheckpoint()
+        active = active.join(members.select("id"), Seq("id"), "left_anti").localCheckpoint()
+        remaining = active.count()
+      }
+    }
+    require(remaining == 0, s"SCC coloring did not converge in $maxSweeps sweeps")
+    result
+  }
 }

@@ -47,16 +47,58 @@ object Multimodal {
       ).as("meta"))
   }
 
-  /** STUB decode: binary → (format, width, height). A real kernel would
-    * parse the container header; the stub derives deterministic values from
-    * the payload hash so downstream plans are testable.
+  /** REAL image encode: deterministic RGB pixels → PNG bytes via
+    * `javax.imageio` (pure JVM, no native codec). Used to materialize real
+    * image payloads for the decode path's oracle (q_media_decode).
+    */
+  val encodePng = F.udf((w: Int, h: Int, seed: Long) => {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (Hll.mix64(seed + x * 31L + y * 17L) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  })
+
+  /** Image decode: binary → (format, width, height). REAL path: an
+    * `javax.imageio` header parse (reader.getWidth reads the container
+    * header, no pixel decode) for any format the JVM ships readers for
+    * (PNG/BMP/GIF/JPEG). Payloads no reader recognizes (e.g. the synthetic
+    * media-table stubs, or real-world video containers) fall back to the
+    * deterministic STUB values so downstream plans stay testable.
     */
   val decodeImage = F.udf((bytes: Array[Byte]) => {
     if (bytes == null) null
     else {
-      val h = Hll.mix64(bytes.foldLeft(17L)((acc, b) => acc * 31 + b))
-      ("stub-rgb", (math.floorMod(h, 1920) + 64).toInt,
-        (math.floorMod(h >>> 17, 1080) + 64).toInt)
+      val parsed =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val r = readers.next()
+              r.setInput(iis)
+              val res = (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
+              r.dispose()
+              Some(res)
+            } else None
+          } finally if (iis != null) iis.close()
+        } catch { case _: java.io.IOException => None }
+      parsed.getOrElse {
+        // STUB fallback: deterministic from the payload hash
+        val h = Hll.mix64(bytes.foldLeft(17L)((acc, b) => acc * 31 + b))
+        ("stub-rgb", (math.floorMod(h, 1920) + 64).toInt,
+          (math.floorMod(h >>> 17, 1080) + 64).toInt)
+      }
     }
   })
 

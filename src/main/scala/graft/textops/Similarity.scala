@@ -56,19 +56,58 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (`planes` sign bits). Hyperplane p's
     * normal vector component for dimension i is a deterministic ±1 from
-    * splitmix-style arithmetic — reproducible anywhere, no stored model.
+    * PURE modular arithmetic (not an engine-specific hash) — reproducible
+    * in any engine, so the DuckDB oracle can replicate the bucketing
+    * end-to-end (q_ann_recall).
     */
+  def planeSign(p: Column, i: Column): Column =
+    when(pmod(pmod((p + 1) * lit(1315423911L) + (i + 1) * lit(2654435761L),
+      lit(1000003L)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
   def lshBucket(vecCol: Column, planes: Int, dims: Int): Column = {
     val signs = (0 until planes).map { p =>
-      // dot(v, n_p) where n_p[i] = +1/-1 from hash(p, i)
       val dot = aggregate(
         zip_with(vecCol, typedLit((0 until dims).map(_.toLong)),
-          (v, i) => v.cast("double") *
-            when(pmod(hash(lit(p), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          (v, i) => v.cast("double") * planeSign(lit(p.toLong), i)),
         lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      // rounded before the sign test: summation order differs across
+      // engines/partitionings, and the oracle must land on the same side
+      when(round(dot, 9) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     signs.reduce(_ + _)
+  }
+
+  /** All bucket-xor masks within Hamming distance `maxHamming` of the home
+    * bucket — the multi-probe sequence (shared with the DuckDB oracle so
+    * both engines probe identical buckets).
+    */
+  def probeMasks(planes: Int, maxHamming: Int): Seq[Long] =
+    (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+
+  /** Multi-probe LSH cosine top-k: each query probes its own bucket plus all
+    * buckets within Hamming distance `maxHamming` (the sign bits most likely
+    * to be on the wrong side of a hyperplane), then exact cosine + top-k
+    * WITHIN the probed buckets only. The scale path for [[topK]]: candidate
+    * count per query ≈ (probed/2^planes)·|corpus| instead of |corpus|;
+    * recall vs the brute baseline is gated by the q_ann_recall driver query.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 6, dims: Int = 64, maxHamming: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes, dims).as("b0"))
+    val flips = probeMasks(planes, maxHamming).map(lit)
+    val probed = q.select(col("qid"), col("qv"),
+      explode(array(flips.map(f => col("b0").bitwiseXOR(f)): _*)).as("bucket"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    // a candidate lives in exactly one bucket and probe buckets are distinct,
+    // so no per-pair dedup is needed
+    val scored = probed.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cos")
   }
 
   /** IVF-style coarse quantization: assign each vector to its nearest of

@@ -45,13 +45,18 @@ import graft.sources.SynthDocs
 object ScalingBench {
 
   final case class RunResult(executors: Int, coresPerExec: Int, wallSec: Double,
-                             urls: Long, urlsPerSec: Double) {
+                             urls: Long, urlsPerSec: Double,
+                             candidates: Long, candPerSec: Double) {
     def cores: Int = executors * coresPerExec
   }
 
-  /** Paths of the pre-materialized input tables (shared by both sizes). */
+  /** Paths of the pre-materialized input tables (shared by both sizes).
+    * `warmPairs` is a small independent corpus' link table used only for the
+    * untimed warmup rounds — same plan shapes (so JIT/codegen/shuffle paths
+    * warm fully) without paying full corpus scans outside the timed window.
+    */
   final case class Prepared(docs: String, pairs: String, priorities: String,
-                            budgets: String, seeds: String)
+                            budgets: String, seeds: String, warmPairs: String)
 
   /** A session on a local-cluster of `executors` separate executor JVMs. */
   def clusterSession(executors: Int, coresPerExec: Int, memMb: Int,
@@ -61,13 +66,17 @@ object ScalingBench {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     Graft.session(
       master = s"local-cluster[$executors,$coresPerExec,$memMb]",
-      shufflePartitions = executors * coresPerExec,
+      shufflePartitions = executors * coresPerExec * 2,
       appName = appName,
       extraConfigs = Map(
         "spark.executor.extraClassPath" -> classesDir,
         // local-cluster's third arg is only the WORKER's capacity; the
         // executor JVM heap itself is spark.executor.memory (default 1g)
-        "spark.executor.memory" -> s"${memMb}m"))
+        "spark.executor.memory" -> s"${memMb}m",
+        // split the corpus scan finer than the 128m default: ~4 task waves
+        // per stage instead of ~1 so one slow split can't stretch the stage
+        // (AQE re-coalesces the shuffle side; this only affects file scans)
+        "spark.sql.files.maxPartitionBytes" -> "33554432"))
   }
 
   /** Untimed setup: synthesize and write all input tables once (local[32] —
@@ -76,7 +85,7 @@ object ScalingBench {
   def prepare(nDocs: Long, nHosts: Int, seeds: Int, tokens: Int): Prepared = {
     val base = Files.createTempDirectory("graft_scale_input").toString
     val p = Prepared(s"$base/docs", s"$base/pairs", s"$base/priorities",
-      s"$base/budgets", s"$base/seeds")
+      s"$base/budgets", s"$base/seeds", s"$base/warm_pairs")
     val spark = Graft.session(master = "local[32]", shufflePartitions = 32,
       appName = "graft-scaling-setup")
     try {
@@ -90,6 +99,9 @@ object ScalingBench {
           (col("tokens_per_round") * tokens).as("tokens_per_round"))
         .write.parquet(p.budgets)
       SynthDocs.seeds(spark, seeds, nHosts).write.parquet(p.seeds)
+      val warmDocs = SynthDocs.docs(spark, math.min(nDocs, 1000000L), nHosts,
+        partitions = 32).toDF()
+      CorpusFetcher.pairsOf(warmDocs).write.parquet(p.warmPairs)
     } finally spark.stop()
     p
   }
@@ -135,19 +147,27 @@ object ScalingBench {
         .localCheckpoint()
       val seedDf = spark.read.parquet(in.seeds)
 
-      // untimed warmup round on a scratch dir: JIT + codegen + shuffle
-      // machinery warm before the measured window (standard JVM bench
-      // hygiene; both cluster sizes get the same treatment)
+      // untimed warmup rounds on a scratch dir over the SMALL warm corpus:
+      // identical plan shapes, so JIT/codegen/shuffle machinery is fully
+      // warm before the measured window without paying full corpus scans
+      // (standard JVM bench hygiene; both cluster sizes get the same
+      // treatment)
+      val warmFetcher = new TableFetcher(spark.read.parquet(in.warmPairs))
       val warmDir = Files.createTempDirectory(s"graft_warm_$cores").toString
       val wc = c.copy(rootDir = warmDir)
       Frontier.init(spark, wc, seedDf.limit(20000), priorities, robots)
-      Frontier.run(spark, wc, fetcher, 2, budgets, robots, priorities)
+      Frontier.run(spark, wc, warmFetcher, 2, budgets, robots, priorities)
 
       val t0 = System.nanoTime()
       Frontier.init(spark, c, seedDf, priorities, robots)
       val st = Frontier.run(spark, c, fetcher, rounds, budgets, robots, priorities)
       val wall = (System.nanoTime() - t0) / 1e9
-      RunResult(executors, coresPerExec, wall, st.logRows, st.logRows / wall)
+      // frontier-dedup throughput: candidate outlinks pushed through the
+      // seen-set per second (BASELINE.md metric table), from round markers
+      val cand = (0 until rounds)
+        .map(r => Frontier.markerCounters(spark, c, r).getOrElse("candidates", 0L)).sum
+      RunResult(executors, coresPerExec, wall, st.logRows, st.logRows / wall,
+        cand, cand / wall)
     } finally spark.stop()
   }
 
@@ -161,12 +181,19 @@ object ScalingBench {
     val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "12288").toInt
     val cpe = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "4").toInt
 
-    val in = prepare(nDocs, nHosts, seeds, tokens)
+    // reuse an already-prepared input dir across invocations (iteration aid;
+    // the tables are pure functions of (nDocs, nHosts, seeds, tokens))
+    val in = sys.env.get("SPARK_GRAFT_SCALE_INPUT") match {
+      case Some(base) => Prepared(s"$base/docs", s"$base/pairs",
+        s"$base/priorities", s"$base/budgets", s"$base/seeds", s"$base/warm_pairs")
+      case None => prepare(nDocs, nHosts, seeds, tokens)
+    }
     val pairs = (1 to samples).map { i =>
       val lo = runOnce(1, cpe, memMb, in, rounds, tokens)
       val hi = runOnce(4, cpe, memMb, in, rounds, tokens)
-      require(lo.urls == hi.urls,
-        s"determinism violation: 1x$cpe scheduled ${lo.urls} URLs, 4x$cpe ${hi.urls}")
+      require(lo.urls == hi.urls && lo.candidates == hi.candidates,
+        s"determinism violation: 1x$cpe scheduled ${lo.urls} URLs/${lo.candidates} cand, " +
+        s"4x$cpe ${hi.urls}/${hi.candidates}")
       val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
       System.err.println(f"[scaling] sample $i: lo=${lo.wallSec}%.1fs hi=${hi.wallSec}%.1fs eff=$eff%.3f")
       (lo, hi, eff)
@@ -174,10 +201,10 @@ object ScalingBench {
     val sorted = pairs.sortBy(_._3)
     val (mlo, mhi, meff) = sorted(sorted.size / 2) // median-efficiency sample
     val json =
-      f"""{"metric":"urls_scheduled_per_sec","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds}"""
+      f"""{"metric":"urls_scheduled_per_sec","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"candidates":${mhi.candidates},"frontier_dedup_per_sec":${mhi.candPerSec}%.2f,"dedup_thr_lo":${mlo.candPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds}"""
     println(json)
     val sampleRows = pairs.zipWithIndex.map { case ((lo, hi, eff), i) =>
-      f"| ${i + 1} | ${lo.wallSec}%.1f | ${lo.urlsPerSec}%.1f | ${hi.wallSec}%.1f | ${hi.urlsPerSec}%.1f | $eff%.3f |"
+      f"| ${i + 1} | ${lo.wallSec}%.1f | ${lo.urlsPerSec}%.1f | ${lo.candPerSec}%.1f | ${hi.wallSec}%.1f | ${hi.urlsPerSec}%.1f | ${hi.candPerSec}%.1f | $eff%.3f |"
     }.mkString("\n")
     val md =
       f"""# BENCH — frontier scaling (N vs 4N executors, separate JVMs)
@@ -195,13 +222,14 @@ object ScalingBench {
          |memory-bus/GC ceiling of one heap, eff 0.28–0.45, not the engine).
          |
          |Determinism asserted per sample: both cluster sizes schedule the same
-         |${mhi.urls} URLs (FrontierSpec pins full order equality vs a
+         |${mhi.urls} URLs and push the same ${mhi.candidates} candidate
+         |outlinks through the seen-set (FrontierSpec pins full order equality vs a
          |sequential oracle; this run asserts count equality).
          |
          |$samples independent sample pairs (alternating N, 4N):
          |
-         || sample | wall N (s) | urls/s N | wall 4N (s) | urls/s 4N | efficiency |
-         ||---|---|---|---|---|---|
+         || sample | wall N (s) | urls/s N | dedup/s N | wall 4N (s) | urls/s 4N | dedup/s 4N | efficiency |
+         ||---|---|---|---|---|---|---|---|
          |$sampleRows
          |
          |**median scaling_efficiency = thr_4N / (4 × thr_N) = $meff%.3f** (target ≥ 0.8)

@@ -80,6 +80,15 @@ class TableFetcher(pairs: DataFrame) extends Fetcher {
   * Every ordering has a full tie-break, so the fetch log and seen set are
   * pure functions of (seeds, corpus, budgets, robots, priorities) —
   * independent of cluster size and partitioning (the N-vs-4N criterion).
+  *
+  * Known 10^10-scale refinement (not needed at bench scale, where the
+  * pending write is ~1-2s/round): the per-round pending commit currently
+  * rewrites the full pending set; at 10^10 pending rows the right shape is
+  * two append-only tables — `pending_add` (seeds + per-round new rows) and
+  * `pending_removed` (per-round selected keys) — read as `add ∖ removed`
+  * with periodic compaction, so the per-round write cost is O(delta) not
+  * O(|pending|). TableIO's append/pinned-snapshot machinery already
+  * supports it; the seen set and fetch log are ALREADY append-only deltas.
   */
 object Frontier {
 
@@ -147,6 +156,21 @@ object Frontier {
   /** State pinned by a specific round's marker (round -1 = init). */
   def lastCommittedAt(spark: SparkSession, c: Config, round: Int): Option[State] =
     readMarker(spark, c, round)
+
+  /** The counters a round's marker recorded (selected, candidates, new_urls). */
+  def markerCounters(spark: SparkSession, c: Config, round: Int): Map[String, Long] = {
+    val f = fs(spark, c)
+    val p = markerPath(c, round)
+    if (!f.exists(p)) return Map.empty
+    val in = new BufferedReader(new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try {
+      val props = new Properties()
+      props.load(in)
+      props.stringPropertyNames().asScala
+        .filter(_.startsWith("counter."))
+        .map(k => k.stripPrefix("counter.") -> props.getProperty(k).toLong).toMap
+    } finally in.close()
+  }
 
   /** Highest committed round marker (-1 = just initialized). One directory
     * listing, not a per-round existence probe — a long crawl's resume would

@@ -127,6 +127,44 @@ object Similarity {
     greatest(scores: _*).getField("c")
   }
 
+  /** IVF probe scores of a vector against every centroid: array of
+    * (dot, centroid) structs, descending by dot. Centroids are
+    * deterministic hash-derived ±1 directions (a trained k-means codebook
+    * slots in identically).
+    */
+  private def ivfScores(vecCol: Column, nCentroids: Int, dims: Int): Seq[Column] =
+    (0 until nCentroids).map { c =>
+      val dot = aggregate(
+        zip_with(vecCol, typedLit((0 until dims).map(_.toLong)),
+          (v, i) => v.cast("double") *
+            when(pmod(hash(lit(c), i, lit(7)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      struct(dot.as("dot"), lit(c).as("c"))
+    }
+
+  /** Multi-probe IVF cosine top-k: corpus vectors live in their single
+    * nearest-centroid bucket; each query probes its `probes` nearest
+    * centroids and runs exact cosine + top-k within those buckets only —
+    * the standard inverted-file search trade (probe more lists for recall,
+    * fewer for speed). Recall gate: Round2Spec vs the brute baseline.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, dims: Int = 64, probes: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      ivfBucket(col(vecCol), nCentroids, dims).as("bucket"))
+    val ranked = array_sort(array(ivfScores(col(vecCol), nCentroids, dims): _*),
+      (a, b) => when(a.getField("dot") > b.getField("dot"), -1)
+        .when(a.getField("dot") < b.getField("dot"), 1).otherwise(0))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(slice(transform(ranked, s => s.getField("c")), 1, probes)).as("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cos")
+  }
+
   /** IVF-bucketed near-neighbor pairs (single-probe): exact cosine within
     * the assigned bucket only. Complements [[lshPairs]]; both are
     * recall/cost trades over the same verify kernel.

@@ -75,6 +75,12 @@ class Round2Spec extends AnyFunSuite {
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx intersect brute).size.toDouble / brute.size
     assert(recall > 0.5, s"recall=$recall over ${brute.size} true neighbors")
+    // IVF multi-probe: same contract via the inverted-file quantizer
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 10,
+        nCentroids = 8, probes = 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (ivf intersect brute).size.toDouble / brute.size
+    assert(ivfRecall > 0.5, s"ivf recall=$ivfRecall over ${brute.size}")
   }
 
   test("rank-file sink: headered gzip, rank-sorted, round-trips") {

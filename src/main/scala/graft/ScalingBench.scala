@@ -203,9 +203,11 @@ object ScalingBench {
     val json =
       f"""{"metric":"urls_scheduled_per_sec","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"candidates":${mhi.candidates},"frontier_dedup_per_sec":${mhi.candPerSec}%.2f,"dedup_thr_lo":${mlo.candPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds}"""
     println(json)
+    // rows after the first sit on their own stripMargin lines — double the
+    // leading pipe so one survives
     val sampleRows = pairs.zipWithIndex.map { case ((lo, hi, eff), i) =>
       f"| ${i + 1} | ${lo.wallSec}%.1f | ${lo.urlsPerSec}%.1f | ${lo.candPerSec}%.1f | ${hi.wallSec}%.1f | ${hi.urlsPerSec}%.1f | ${hi.candPerSec}%.1f | $eff%.3f |"
-    }.mkString("\n")
+    }.mkString("\n|")
     val md =
       f"""# BENCH — frontier scaling (N vs 4N executors, separate JVMs)
          |

@@ -105,7 +105,15 @@ object Frontier {
         * of the big side per round (the 100 TB shape). Above the cap the
         * joins fall back to shuffle joins.
         */
-      broadcastFetchMax: Long = 4000000L)
+      broadcastFetchMax: Long = 4000000L,
+      /** Materialize the candidate set (persist + count) when the selected
+        * batch has at least this many rows. The barrier stops Catalyst
+        * pushing the seen-filter bloom UDF below the canonicalize agg onto
+        * the corpus-sized link scan twice (measured 2×65-80 core-s/round at
+        * 8M docs) — but for small interactive rounds the extra jobs cost
+        * more than the double-scan they avoid, so tiny rounds skip it.
+        */
+      candidateBarrierMin: Long = 50000L)
 
   final case class State(round: Int, seen: Long, pending: Long, log: Long,
                          logRows: Long)
@@ -359,9 +367,13 @@ object Frontier {
     // deduped candidate — and, because each branch pushes a DIFFERENT
     // predicate, the two exchanges stop being reusable and the corpus is
     // scanned twice per round (measured 2×65-80 core-s/round at 8M docs).
-    val candidates = robotsFilter(canonicalize(outlinks, priorities), robots)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nCandidates = candidates.count()
+    val useBarrier = nSelected >= c.candidateBarrierMin
+    val candidates0 = robotsFilter(canonicalize(outlinks, priorities), robots)
+    val candidates =
+      if (useBarrier)
+        candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else candidates0
+    val nCandidates = if (useBarrier) candidates.count() else -1L
     lap("extract")
     // no count action here: nNew is recovered from the seen-append's
     // per-bucket counters (computed in the same pass that builds the delta
@@ -394,11 +406,12 @@ object Frontier {
     lap("commit")
     val nNew = seenSnap.counters.valuesIterator.sum
     val newState = State(round, seenSnap.id, pSnap.id, lSnap.id, st.logRows + nSelected)
-    writeMarker(spark, c, newState, Map(
-      "selected" -> nSelected, "candidates" -> nCandidates, "new_urls" -> nNew))
+    val counters = Map("selected" -> nSelected, "new_urls" -> nNew) ++
+      (if (nCandidates >= 0) Map("candidates" -> nCandidates) else Map.empty)
+    writeMarker(spark, c, newState, counters)
     // round is durably committed — release its intermediates
     selected.unpersist(blocking = false)
-    candidates.unpersist(blocking = false)
+    if (useBarrier) candidates.unpersist(blocking = false)
     newRows.unpersist(blocking = false)
     (newState, Some(blooms))
   }

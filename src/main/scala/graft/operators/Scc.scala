@@ -62,7 +62,12 @@ object Scc {
     * contract as [[exact]].
     */
   def coloring(vertices: DataFrame, edges: DataFrame,
-               maxSweeps: Int = 64, maxHops: Int = 256): DataFrame = {
+               maxSweeps: Int = 4096, maxHops: Int = 256): DataFrame = {
+    // sweep count is bounded by the longest chain of non-trivial SCCs in
+    // the condensation whose colors shadow each other (a chain of k cycles
+    // needs k sweeps): deep for adversarial graphs, shallow for web graphs
+    // (bowtie: trimming strips the tendrils, a handful of sweeps harvests
+    // the cores)
     val e0 = edges.select(col("from_id"), col("to_id"))
       .filter(col("from_id") =!= col("to_id")).distinct()
     var active = vertices.select(col("id")).localCheckpoint()

@@ -37,6 +37,24 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("SCC coloring on a chain of cycles (multi-sweep shadowing case)") {
+    // 4 cycles of 3 nodes, chained by a bridge from each cycle's max node to
+    // the next cycle: colors shadow downstream cycles, so each sweep
+    // harvests exactly one cycle — pins the multi-sweep loop
+    val nodes = spark.range(12).select($"id")
+    val cyc = (0 until 4).flatMap { c =>
+      val b = c * 3L
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b))
+    }
+    // descending bridges: cycle 3 (ids 9-11) reaches cycle 2, etc.
+    val bridges = Seq((9L, 6L), (6L, 3L), (3L, 0L))
+    val edges = (cyc ++ bridges).toDF("from_id", "to_id")
+    val got = Scc.coloring(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0 until 12).map(i => i.toLong -> (i - i % 3).toLong).toMap
+    assert(got == want)
+  }
+
   test("SCC coloring on disjoint cycles + chain") {
     // two 3-cycles and a chain: components are the cycles + singletons
     val nodes = spark.range(8).select($"id")

@@ -179,4 +179,24 @@ class FrontierSpec extends AnyFunSuite {
     val seedSnap = TableIO.snapshotAt(spark, s"$dir/seen", init.seen).get
     assert(seedSnap.counters.keys.exists(_.startsWith("bucket.")))
   }
+
+  test("physical-path configs (candidate barrier, broadcast fetch) don't change results") {
+    // barrier ON for every round vs OFF (tiny rounds skip it by default),
+    // and the shuffle-join fetch path vs the broadcast path: all four must
+    // produce the identical crawl log and seen set
+    def runWith(c0: Frontier.Config): (Seq[(Int, Long, String)], Set[String]) = {
+      Frontier.init(spark, c0, seeds, priorities, robots)
+      Frontier.run(spark, c0, fetcher, 2, budgets, robots, priorities)
+      (Frontier.fetchLog(spark, c0).collect()
+         .map(r => (r.getAs[Int]("round"), r.getAs[Long]("seq"), r.getAs[String]("url"))).toSeq,
+       Frontier.seenKeys(spark, c0).collect().map(_.getString(0)).toSet)
+    }
+    val base = runWith(cfg(Files.createTempDirectory("f_base").toString))
+    val barrier = runWith(cfg(Files.createTempDirectory("f_barrier").toString)
+      .copy(candidateBarrierMin = 0L))
+    val shuffle = runWith(cfg(Files.createTempDirectory("f_shuffle").toString)
+      .copy(broadcastFetchMax = 0L))
+    assert(barrier == base)
+    assert(shuffle == base)
+  }
 }

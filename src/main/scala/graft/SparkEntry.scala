@@ -376,6 +376,33 @@ object SparkEntry {
         HostGraph.mergeLinks(Seq(crawl(0), crawl(1))), v1)
       vm.select(col("id"), col("rev_name")).orderBy("id")
     }),
+    // B9: prefix-interval vertex filter (iepm intervals)
+    "q_prefix" -> ((s, dir) => {
+      val verts = DenseIds.assign(
+        s.read.parquet(t(dir, "customer"))
+          .select(lower(col("c_name")).as("rev_name")).distinct(), "rev_name")
+      Explore.prefixVertices(verts.select(col("id"), col("rev_name")), "customer#0000001")
+    }),
+    // D6: k-way counting merge of value lists
+    "q_counting_merge" -> ((s, dir) => {
+      val a = s.read.parquet(t(dir, "orders")).select(col("o_custkey").cast("long").as("value"))
+      val b = s.read.parquet(t(dir, "customer")).select(col("c_custkey").cast("long").as("value"))
+      val c = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_nationkey") < 5).select(col("c_custkey").cast("long").as("value"))
+      Explore.countingMerge(a.unionByName(b).unionByName(c))
+    }),
+    // F1: transpose (predecessors = successors of the transposed graph)
+    "q_transpose" -> ((s, dir) => {
+      import graft.operators.HostGraph
+      HostGraph.transpose(lineitemEdges(s, dir))
+        .groupBy("from_id").agg(count(lit(1)).as("indeg"))
+        .orderBy("from_id")
+    }),
+    // C8: successors-of-vertex ∩ member set
+    "q_succ_set" -> ((s, dir) => {
+      val set = s.range(0, 200, 2).select(col("id"))
+      Explore.successorIntersect(lineitemEdges(s, dir), 1L, set)
+    }),
     // D10/F4: component size distribution
     "q_cc_sizes" -> ((s, dir) => {
       val nation = s.read.parquet(t(dir, "nation"))
@@ -645,6 +672,25 @@ object SparkEntry {
       """SELECT 'com,' || source || ',www)/p/' || doc_id || '?a=1&b=2' AS surt_key,
         |       count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_prefix" ->
+      """WITH v AS (SELECT row_number() OVER (ORDER BY rev_name) - 1 AS id, rev_name
+        |  FROM (SELECT DISTINCT lower(c_name) AS rev_name FROM customer))
+        |SELECT id, rev_name FROM v WHERE rev_name LIKE 'customer#0000001%'
+        |ORDER BY id""".stripMargin,
+    "q_counting_merge" ->
+      """SELECT value, count(*) AS multiplicity FROM (
+        |  SELECT o_custkey AS value FROM orders
+        |  UNION ALL SELECT c_custkey FROM customer
+        |  UNION ALL SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_transpose" ->
+      """SELECT to_id AS from_id, count(*) AS indeg
+        |FROM (SELECT DISTINCT l_suppkey AS from_id, l_partkey AS to_id FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_succ_set" ->
+      """SELECT DISTINCT l_partkey AS id
+        |FROM lineitem WHERE l_suppkey = 1 AND l_partkey % 2 = 0 AND l_partkey < 200
+        |ORDER BY 1""".stripMargin,
     "q_cc_sizes" ->
       """SELECT row_number() OVER (ORDER BY size DESC, component ASC) - 1 AS component_rank, size
         |FROM (SELECT CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component,

@@ -14,13 +14,17 @@ run / fork := true
 // local-cluster mode (graft.ScalingBench: N-vs-4N separate executor JVMs)
 // needs the standalone Worker to find the Spark distro + scala version when
 // launching executor processes.
+// Default from the caller's environment so other hosts' Spark installs are
+// respected; /opt/spark is only the fallback for this image's layout.
+val sparkHomeEnv = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+val sparkScalaEnv = sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13")
 run / envVars ++= Map(
-  "SPARK_HOME" -> "/opt/spark",
-  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_HOME" -> sparkHomeEnv,
+  "SPARK_SCALA_VERSION" -> sparkScalaEnv,
 )
 Test / envVars ++= Map(
-  "SPARK_HOME" -> "/opt/spark",
-  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_HOME" -> sparkHomeEnv,
+  "SPARK_SCALA_VERSION" -> sparkScalaEnv,
 )
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

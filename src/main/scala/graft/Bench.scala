@@ -38,13 +38,19 @@ object Bench {
     val scaling =
       if (sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("live")) {
         try {
+          // SAME env defaults as ScalingBench.main so a live re-measurement
+          // reproduces the committed BENCH/BASELINE.md protocol (4-core
+          // executors — ScaleProbe shows this box caps pure-CPU scaling at
+          // ~3.0x for 8→32 threads but 3.75x for 4→16, so 8-core executors
+          // would measure the host ceiling, not the engine)
           val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "8000000").toLong
-          val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "16384").toInt
+          val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "12288").toInt
+          val cpe = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "4").toInt
           val in = ScalingBench.prepare(nDocs, 20000, seeds = 250000, tokens = 16)
-          val lo = ScalingBench.runOnce(1, 8, memMb, in, rounds = 3, tokens = 16)
-          val hi = ScalingBench.runOnce(4, 8, memMb, in, rounds = 3, tokens = 16)
+          val lo = ScalingBench.runOnce(1, cpe, memMb, in, rounds = 3, tokens = 16)
+          val hi = ScalingBench.runOnce(4, cpe, memMb, in, rounds = 3, tokens = 16)
           val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
-          f""","frontier":{"source":"live","protocol":"local-cluster 1x8 vs 4x8 executor JVMs","urls":${hi.urls},"thr_lo":${lo.urlsPerSec}%.2f,"thr_hi":${hi.urlsPerSec}%.2f,"urls_scheduled_per_sec":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"deterministic":${lo.urls == hi.urls}}"""
+          f""","frontier":{"source":"live","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","urls":${hi.urls},"thr_lo":${lo.urlsPerSec}%.2f,"thr_hi":${hi.urlsPerSec}%.2f,"urls_scheduled_per_sec":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"deterministic":${lo.urls == hi.urls}}"""
         } catch { case e: Throwable =>
           s""","frontier":{"error":"${e.getClass.getSimpleName}"}"""
         }

@@ -61,8 +61,10 @@ object ScalingBench {
   /** A session on a local-cluster of `executors` separate executor JVMs. */
   def clusterSession(executors: Int, coresPerExec: Int, memMb: Int,
                      appName: String): SparkSession = {
-    require(sys.env.contains("SPARK_HOME"),
-      "local-cluster mode needs SPARK_HOME (build.sbt run/envVars sets it)")
+    require(sys.env.get("SPARK_HOME").exists(h => new java.io.File(h).isDirectory),
+      s"local-cluster mode needs SPARK_HOME pointing at a Spark distro " +
+      s"(got ${sys.env.getOrElse("SPARK_HOME", "<unset>")}; build.sbt " +
+      "run/envVars defaults it from the caller's environment)")
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     Graft.session(
       master = s"local-cluster[$executors,$coresPerExec,$memMb]",

@@ -81,14 +81,22 @@ class TableFetcher(pairs: DataFrame) extends Fetcher {
   * pure functions of (seeds, corpus, budgets, robots, priorities) —
   * independent of cluster size and partitioning (the N-vs-4N criterion).
   *
-  * Known 10^10-scale refinement (not needed at bench scale, where the
-  * pending write is ~1-2s/round): the per-round pending commit currently
-  * rewrites the full pending set; at 10^10 pending rows the right shape is
-  * two append-only tables — `pending_add` (seeds + per-round new rows) and
-  * `pending_removed` (per-round selected keys) — read as `add ∖ removed`
-  * with periodic compaction, so the per-round write cost is O(delta) not
-  * O(|pending|). TableIO's append/pinned-snapshot machinery already
-  * supports it; the seen set and fetch log are ALREADY append-only deltas.
+  * PENDING is committed as DELTAS (the 10^10-scale shape, VERDICT r2 item
+  * 1): two append-only tables — `pending` (seeds + per-round new rows) and
+  * `pending_removed` (per-round selected keys) — read as `add ∖ removed`,
+  * so the per-round write cost is O(|selected| + |new|), never
+  * O(|pending|). A key enters `pending` at most once (enqueue is gated by
+  * the seen set) and `pending_removed` at most once (only selected keys are
+  * removed, and a selected key is in the seen set forever), so the
+  * anti-join is an exact set difference. Every `compactPendingEvery` rounds
+  * the live set is rewritten as a fresh base snapshot and the removed table
+  * reset — amortized O(|pending|/k) per round — so the delta chain (and the
+  * read-side anti-join) can't grow without bound. This mirrors Iceberg's
+  * merge-on-read delete files + periodic compaction; the seen set and
+  * fetch log are ALREADY append-only deltas. At 10^10, bucket both tables
+  * by key so the read-side anti-join is co-partitioned (no shuffle of the
+  * add side); the reference analog is the spot-safe per-split checkpoint
+  * discipline (`build_hostgraph.sh:131-178`).
   */
 object Frontier {
 
@@ -113,13 +121,20 @@ object Frontier {
         * 8M docs) — but for small interactive rounds the extra jobs cost
         * more than the double-scan they avoid, so tiny rounds skip it.
         */
-      candidateBarrierMin: Long = 50000L)
+      candidateBarrierMin: Long = 50000L,
+      /** Rewrite the live pending set as a fresh base snapshot (and reset
+        * the removed table) every this-many rounds, bounding the delta
+        * chain the read-side `add ∖ removed` anti-join must scan. Between
+        * compactions the per-round pending commit is O(delta).
+        */
+      compactPendingEvery: Int = 16)
 
-  final case class State(round: Int, seen: Long, pending: Long, log: Long,
-                         logRows: Long)
+  final case class State(round: Int, seen: Long, pending: Long, removed: Long,
+                         log: Long, logRows: Long)
 
   private def seenDir(c: Config) = s"${c.rootDir}/seen"
   private def pendingDir(c: Config) = s"${c.rootDir}/pending"
+  private def removedDir(c: Config) = s"${c.rootDir}/pending_removed"
   private def logDir(c: Config) = s"${c.rootDir}/fetch_log"
   private def markerPath(c: Config, round: Int) = new Path(s"${c.rootDir}/markers/round-$round")
 
@@ -135,6 +150,7 @@ object Frontier {
     props.setProperty("round", st.round.toString)
     props.setProperty("seen", st.seen.toString)
     props.setProperty("pending", st.pending.toString)
+    props.setProperty("removed", st.removed.toString)
     props.setProperty("log", st.log.toString)
     props.setProperty("logRows", st.logRows.toString)
     counters.foreach { case (k, v) => props.setProperty(s"counter.$k", v.toString) }
@@ -156,7 +172,9 @@ object Frontier {
       val props = new Properties()
       props.load(in)
       Some(State(props.getProperty("round").toInt, props.getProperty("seen").toLong,
-        props.getProperty("pending").toLong, props.getProperty("log").toLong,
+        props.getProperty("pending").toLong,
+        props.getProperty("removed", "0").toLong,
+        props.getProperty("log").toLong,
         props.getProperty("logRows").toLong))
     } finally in.close()
   }
@@ -267,11 +285,12 @@ object Frontier {
     UrlSeen.append(spark, seenDir(c), pend.select("key"), c.seenCfg, "init:seeds")
     val pSnap = TableIO.write(pend, pendingDir(c), "init:seeds", Map("rows" -> nSeeds))
     import spark.implicits._
+    val rSnap = TableIO.write(Seq.empty[String].toDF("key"), removedDir(c), "init")
     val emptyLog = Seq.empty[(Int, Double, String, String)]
       .toDF("round", "priority", "rev_host", "url")
     val lSnap = TableIO.write(emptyLog, logDir(c), "init")
     val seenSnap = TableIO.currentSnapshot(spark, seenDir(c)).get
-    writeMarker(spark, c, State(-1, seenSnap.id, pSnap.id, lSnap.id, 0L),
+    writeMarker(spark, c, State(-1, seenSnap.id, pSnap.id, rSnap.id, lSnap.id, 0L),
       Map("seeds" -> nSeeds))
   }
 
@@ -305,7 +324,12 @@ object Frontier {
       tPrev = now
     }
     val round = st.round + 1
-    val pending = TableIO.readAt(spark, pendingDir(c), st.pending)
+    // live pending = add ∖ removed over the two pinned delta snapshots; the
+    // anti-join feeds straight into the selection shuffle below (no extra
+    // materialization), and compaction bounds how many delta files it scans
+    val pendingAdd = TableIO.readAt(spark, pendingDir(c), st.pending)
+    val pending = pendingAdd.join(
+      TableIO.readAt(spark, removedDir(c), st.removed), Seq("key"), "left_anti")
 
     // ---- politeness selection: salted two-phase per-host token top-k ----
     val withTokens = pending
@@ -379,7 +403,8 @@ object Frontier {
     // per-bucket counters (computed in the same pass that builds the delta
     // blooms) — one fewer blocking job per round
     val newRows = UrlSeen.unseen(spark, seenDir(c), candidates, c.seenCfg, c.useBloom,
-        atSnapshot = Some(st.seen), blooms = bloomCache)
+        atSnapshot = Some(st.seen), blooms = bloomCache,
+        broadcastBloom = UrlSeen.sidecarFitsDriver(c.seenCfg))
       .select("key", "url", "rev_host", "priority")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     lap("fetch+dedup")
@@ -391,21 +416,40 @@ object Frontier {
     // H4 `workflow_lib.sh:42-57`; the log write started right after select);
     // the round marker is the serialization point and is only written after
     // all three land ----
-    val newPending = pending.join(sel.select("key"), Seq("key"), "left_anti")
-      .unionByName(newRows)
+    // pending commit: O(delta) on steady-state rounds — append the round's
+    // new rows to `pending` and its selected keys to `pending_removed`; a
+    // compaction round instead rewrites the live set as a fresh base
+    // snapshot and resets the removed table (amortized O(|pending|/k))
+    val compact = c.compactPendingEvery > 0 && (round + 1) % c.compactPendingEvery == 0
     val fPending = Future {
-      TableIO.write(newPending, pendingDir(c), s"round:$round:pending")
+      if (compact) {
+        val live = pending.join(selected.select("key"), Seq("key"), "left_anti")
+          .unionByName(newRows)
+        val p = TableIO.write(live, pendingDir(c), s"round:$round:pending:compact")
+        import spark.implicits._
+        val r = TableIO.write(Seq.empty[String].toDF("key"), removedDir(c),
+          s"round:$round:removed:compact")
+        (p, r)
+      } else {
+        val p = TableIO.append(newRows, pendingDir(c), s"round:$round:pending",
+          parentId = Some(st.pending))
+        val r = TableIO.append(selected.select("key"), removedDir(c),
+          s"round:$round:removed", Map("rows" -> nSelected),
+          parentId = Some(st.removed))
+        (p, r)
+      }
     }
     val fSeen = Future {
       UrlSeen.append(spark, seenDir(c), newRows.select("key"), c.seenCfg,
         s"round:$round:seen", parentId = Some(st.seen), prevBlooms = bloomCache)
     }
-    val pSnap = Await.result(fPending, Duration.Inf)
+    val (pSnap, rSnap) = Await.result(fPending, Duration.Inf)
     val (seenSnap, blooms) = Await.result(fSeen, Duration.Inf)
     val lSnap = Await.result(fLog, Duration.Inf)
     lap("commit")
     val nNew = seenSnap.counters.valuesIterator.sum
-    val newState = State(round, seenSnap.id, pSnap.id, lSnap.id, st.logRows + nSelected)
+    val newState = State(round, seenSnap.id, pSnap.id, rSnap.id, lSnap.id,
+      st.logRows + nSelected)
     val counters = Map("selected" -> nSelected, "new_urls" -> nNew) ++
       (if (nCandidates >= 0) Map("candidates" -> nCandidates) else Map.empty)
     writeMarker(spark, c, newState, counters)
@@ -413,7 +457,7 @@ object Frontier {
     selected.unpersist(blocking = false)
     if (useBarrier) candidates.unpersist(blocking = false)
     newRows.unpersist(blocking = false)
-    (newState, Some(blooms))
+    (newState, blooms)
   }
 
   /** The committed fetch log at the last completed round, with the

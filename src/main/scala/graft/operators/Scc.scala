@@ -121,6 +121,15 @@ object Scc {
             .filter(col("color") =!= col("old")).count()
           color = next
         }
+        // harvesting a PARTIAL coloring silently corrupts output: the
+        // backward pass would emit a strict subset of an SCC as complete,
+        // and later sweeps would shred the remainder into singletons — fail
+        // loudly instead (an SCC with internal forward eccentricity > maxHops
+        // from its max-id node, e.g. a 300-node directed cycle, needs a
+        // larger hop budget)
+        require(changed == 0,
+          s"SCC color fixpoint did not converge in $maxHops hops — " +
+          "rerun with a larger maxHops budget")
         // 3. backward closure from roots, constrained to the root's color
         var members = color.filter(col("id") === col("color")).localCheckpoint()
         var frontier = members

@@ -136,23 +136,31 @@ object Dedup {
     *
     * Skew guard (VERDICT r1 "what's wrong" item 3): a hot shingle appearing
     * in d documents alone contributes d² candidate pairs — quadratic in its
-    * document frequency. CANDIDATE generation therefore only joins through
-    * shingles with document frequency ≤ `maxShingleDf`; the Jaccard itself
-    * is then computed EXACTLY over the full shingle sets of each candidate
-    * pair. A qualifying pair is missed only if every shingle it shares is
-    * hotter than the cap — at jaccard ≥ t the pair shares ≥ t/(1+t)·|union|
-    * shingles, so with any realistic cap this requires every one of them to
-    * be boilerplate; route such corpora through [[minhashDedup]] instead.
+    * document frequency. When `maxShingleDf` is set, CANDIDATE generation
+    * only joins through shingles with document frequency ≤ the cap; the
+    * Jaccard itself is then computed EXACTLY over the full shingle sets of
+    * each candidate pair. A qualifying pair is missed only if every shingle
+    * it shares is hotter than the cap — at jaccard ≥ t the pair shares
+    * ≥ t/(1+t)·|union| shingles, so with any realistic cap this requires
+    * every one of them to be boilerplate; route such corpora through
+    * [[minhashDedup]] instead.
+    *
+    * The DEFAULT is exact (no cap): silently-approximate-by-default would
+    * diverge from an exact oracle on a hot-shingle corpus (ADVICE r2).
+    * Scale call sites opt in explicitly with e.g. `maxShingleDf = 1000`.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxShingleDf: Int = 1000): DataFrame = {
+                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), n)).as("tok"))
       .distinct()
-    val rareToks = sh.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("tok")
-    val rare = sh.join(rareToks, Seq("tok"), "left_semi")
+    val rare =
+      if (maxShingleDf == Int.MaxValue) sh // exact: skip the df pass entirely
+      else sh.join(
+        sh.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("tok"),
+        Seq("tok"), "left_semi")
     val candidates = rare.as("a").join(rare.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

@@ -152,12 +152,19 @@ class FrontierSpec extends AnyFunSuite {
     val killed = Files.createTempDirectory("frontierKilled").toString
     runAll(killed, rounds = 2) // "killed" after round 1 committed
 
-    // simulate a crash mid-round-2: orphan appends landed but no marker
+    // simulate a crash mid-round-2: orphan appends landed but no marker —
+    // in EVERY state table, including both pending delta tables
     val c = cfg(killed)
     val orphanKeys = Seq("com,orphan)/x", "com,orphan)/y").toDF("key")
     UrlSeen.append(spark, s"$killed/seen", orphanKeys, c.seenCfg, "orphan")
     TableIO.append(Seq((2, 999L, "https://orphan.com/")).toDF("round", "seq", "url"),
       s"$killed/fetch_log", "orphan")
+    TableIO.append(
+      Seq(("com,orphan)/p", "https://orphan.com/p", "com.orphan", 0.5))
+        .toDF("key", "url", "rev_host", "priority"),
+      s"$killed/pending", "orphan")
+    TableIO.append(Seq("com,orphan)/r").toDF("key"),
+      s"$killed/pending_removed", "orphan")
 
     // resume to 4 rounds — replay must pin to markers, ignoring orphans
     runAll(killed, rounds = 4)
@@ -198,5 +205,63 @@ class FrontierSpec extends AnyFunSuite {
       .copy(broadcastFetchMax = 0L))
     assert(barrier == base)
     assert(shuffle == base)
+    // pending-compaction cadence: every round / never — results must not
+    // depend on WHEN the delta chain is rewritten as a base snapshot
+    val compactAll = runWith(cfg(Files.createTempDirectory("f_compact").toString)
+      .copy(compactPendingEvery = 1))
+    val compactNever = runWith(cfg(Files.createTempDirectory("f_nocompact").toString)
+      .copy(compactPendingEvery = 0))
+    assert(compactAll == base)
+    assert(compactNever == base)
+    // table-resident sidecar (sidecar too big for the driver): distributed
+    // OR-merge on append + bucket-join probe — same crawl
+    val c0 = cfg(Files.createTempDirectory("f_tbloom").toString)
+    val tableBloom = runWith(c0.copy(
+      seenCfg = c0.seenCfg.copy(sidecarDriverMaxBytes = 0L)))
+    assert(tableBloom == base)
+  }
+
+  test("compaction resets the removed table and keeps resume byte-identical") {
+    val full = Files.createTempDirectory("f_cmp_full").toString
+    Frontier.init(spark, cfg(full).copy(compactPendingEvery = 2), seeds, priorities, robots)
+    Frontier.run(spark, cfg(full).copy(compactPendingEvery = 2), fetcher, 4,
+      budgets, robots, priorities)
+    // kill after round 2 (just past the round-1 compaction), resume to 4
+    val killed = Files.createTempDirectory("f_cmp_kill").toString
+    val ck = cfg(killed).copy(compactPendingEvery = 2)
+    Frontier.init(spark, ck, seeds, priorities, robots)
+    Frontier.run(spark, ck, fetcher, 2, budgets, robots, priorities)
+    Frontier.run(spark, ck, fetcher, 4, budgets, robots, priorities)
+    assert(logOf(killed) == logOf(full))
+    assert(seenOf(killed) == seenOf(full))
+    // post-compaction the removed table at the marker snapshot is empty
+    val st = Frontier.lastCommittedAt(spark, ck, 1).get
+    assert(TableIO.readAt(spark, s"$killed/pending_removed", st.removed).count() == 0)
+  }
+
+  test("distributed sidecar OR-merge equals the driver-side merge") {
+    val a = Files.createTempDirectory("sidecarA").toString
+    val b = Files.createTempDirectory("sidecarB").toString
+    val small = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 12, numHashes = 5)
+    val big = small.copy(sidecarDriverMaxBytes = 0L) // force the table path
+    val batch1 = Seq("com,a)/1", "com,b)/2", "org,c)/3").toDF("key")
+    val batch2 = Seq("net,d)/4", "com,e)/5").toDF("key")
+    UrlSeen.create(spark, a, small); UrlSeen.create(spark, b, big)
+    val (_, m1) = UrlSeen.append(spark, a, batch1, small, "t1")
+    UrlSeen.append(spark, a, batch2, small, "t2", prevBlooms = m1)
+    val (_, n1) = UrlSeen.append(spark, b, batch1, big, "t1")
+    assert(n1.isEmpty) // table path returns no driver map
+    UrlSeen.append(spark, b, batch2, big, "t2")
+    def sidecar(dir: String): Map[Int, Seq[Byte]] =
+      TableIO.read(spark, s"$dir-bloom").collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(sidecar(a) == sidecar(b))
+    // probe equivalence on top of the merged sidecars
+    val cands = Seq("com,a)/1", "com,zz)/9", "net,d)/4", "org,yy)/8").toDF("key")
+    def unseenOf(dir: String, cfg0: UrlSeen.Config, bc: Boolean) =
+      UrlSeen.unseen(spark, dir, cands, cfg0, broadcastBloom = bc)
+        .collect().map(_.getString(0)).toSet
+    assert(unseenOf(a, small, bc = true) == Set("com,zz)/9", "org,yy)/8"))
+    assert(unseenOf(b, big, bc = false) == Set("com,zz)/9", "org,yy)/8"))
   }
 }

@@ -403,6 +403,18 @@ object SparkEntry {
       val set = s.range(0, 200, 2).select(col("id"))
       Explore.successorIntersect(lineitemEdges(s, dir), 1L, set)
     }),
+    // C9: label↔ID round-trip — name→id (idsOfLabels) then id→name
+    // (labelsOfIds) over the vertices table; output must reproduce the
+    // original (id, label) rows exactly
+    "q_label_id" -> ((s, dir) => {
+      val verts = DenseIds.assign(
+        s.read.parquet(t(dir, "customer"))
+          .select(lower(col("c_name")).as("rev_name")).distinct(), "rev_name")
+        .select(col("id"), col("rev_name"))
+      val labels = verts.filter(col("rev_name").startsWith("customer#00000010"))
+        .select("rev_name")
+      Explore.labelsOfIds(verts, Explore.idsOfLabels(verts, labels)).orderBy("id")
+    }),
     // D10/F4: component size distribution
     "q_cc_sizes" -> ((s, dir) => {
       val nation = s.read.parquet(t(dir, "nation"))
@@ -691,6 +703,11 @@ object SparkEntry {
       """SELECT DISTINCT l_partkey AS id
         |FROM lineitem WHERE l_suppkey = 1 AND l_partkey % 2 = 0 AND l_partkey < 200
         |ORDER BY 1""".stripMargin,
+    "q_label_id" ->
+      """WITH v AS (SELECT row_number() OVER (ORDER BY rev_name) - 1 AS id, rev_name
+        |  FROM (SELECT DISTINCT lower(c_name) AS rev_name FROM customer))
+        |SELECT id, rev_name FROM v WHERE rev_name LIKE 'customer#00000010%'
+        |ORDER BY id""".stripMargin,
     "q_cc_sizes" ->
       """SELECT row_number() OVER (ORDER BY size DESC, component ASC) - 1 AS component_rank, size
         |FROM (SELECT CAST(n_nationkey - n_nationkey % 5 AS BIGINT) AS component,

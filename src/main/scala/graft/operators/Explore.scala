@@ -37,6 +37,16 @@ object Explore {
   def labelOfId(vertices: DataFrame, id: Long): DataFrame =
     vertices.filter(col("id") === id).select("rev_name")
 
+  /** Set-valued C9 lookups: the vertices table IS the bidirectional map, so
+    * batch translation in either direction is a join against it (broadcast
+    * when the lookup set is small).
+    */
+  def idsOfLabels(vertices: DataFrame, labels: DataFrame): DataFrame =
+    labels.select("rev_name").join(vertices, Seq("rev_name")).select("id")
+
+  def labelsOfIds(vertices: DataFrame, ids: DataFrame): DataFrame =
+    ids.select("id").join(vertices, Seq("id")).select("id", "rev_name")
+
   /** Vertices under a reversed-name prefix (B9, iepm prefix intervals
     * `Graph.java:176-202`). Sorted-ID invariant makes the result a contiguous
     * id range; the predicate pushes to the parquet scan via min/max stats.

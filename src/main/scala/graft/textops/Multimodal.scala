@@ -102,18 +102,40 @@ object Multimodal {
     }
   })
 
-  /** STUB resize: returns a payload of exactly `w*h/64` bytes derived from
-    * the input (a real kernel returns the re-encoded image).
+  /** REAL image resize: decode via `javax.imageio`, scale with
+    * `Graphics2D` bilinear interpolation, re-encode as PNG (pure JVM, same
+    * approach as the decode path — no native codec). Payloads no reader
+    * recognizes (video containers, synthetic stub bytes) fall back to a
+    * deterministic STUB payload so downstream plans stay testable.
     */
   val resizeImage = F.udf((bytes: Array[Byte], w: Int, h: Int) => {
     if (bytes == null) null
     else {
-      val n = math.max(1, w * h / 64)
-      val out = new Array[Byte](n)
-      var i = 0
-      var st = bytes.foldLeft(0x9E3779B9L)((acc, b) => acc * 31 + b)
-      while (i < n) { st = Hll.mix64(st); out(i) = st.toByte; i += 1 }
-      out
+      val decoded =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      decoded match {
+        case Some(src) =>
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          out.toByteArray
+        case None =>
+          // STUB fallback: deterministic payload derived from the input
+          val n = math.max(1, w * h / 64)
+          val out = new Array[Byte](n)
+          var i = 0
+          var st = bytes.foldLeft(0x9E3779B9L)((acc, b) => acc * 31 + b)
+          while (i < n) { st = Hll.mix64(st); out(i) = st.toByte; i += 1 }
+          out
+      }
     }
   })
 
@@ -153,11 +175,16 @@ object Multimodal {
     media.repartition(p, col("media_id"))
       .withColumn("decoded", decodeImage(col("bytes")))
       .withColumn("resized", resizeImage(col("bytes"), lit(64), lit(64)))
+      // re-decode the resized payload: proves the resize kernel really
+      // produced a 64×64 image (oracle-checkable in q_media_features)
+      .withColumn("rdec", decodeImage(col("resized")))
       .withColumn("embedding", embedStub(dims)(col("resized")))
       .select(col("media_id"), col("kind"), col("meta"),
         col("decoded._1").as("format"),
         col("decoded._2").as("width"),
         col("decoded._3").as("height"),
+        col("rdec._2").as("resized_width"),
+        col("rdec._3").as("resized_height"),
         col("embedding"))
   }
 }

@@ -110,37 +110,37 @@ object Similarity {
       .select("qid", "rank", "cid", "cos")
   }
 
-  /** IVF-style coarse quantization: assign each vector to its nearest of
-    * `nCentroids` deterministic probe directions (hash-derived ±1 vectors —
-    * a trained k-means codebook slots in identically). ANN search then only
-    * scans the probe's bucket: the standard inverted-file trade.
+  /** Centroid c's ±1 component for (1-based) dimension i — PURE modular
+    * arithmetic like [[planeSign]] (multipliers swapped so IVF directions
+    * differ from the LSH hyperplanes), so the DuckDB oracle can replicate
+    * the bucketing end-to-end (q_ivf_recall). A trained k-means codebook
+    * slots in identically.
     */
-  def ivfBucket(vecCol: Column, nCentroids: Int, dims: Int): Column = {
-    val scores = (0 until nCentroids).map { c =>
-      val dot = aggregate(
-        zip_with(vecCol, typedLit((0 until dims).map(_.toLong)),
-          (v, i) => v.cast("double") *
-            when(pmod(hash(lit(c), i, lit(7)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      struct(dot.as("dot"), lit(c).as("c"))
-    }
-    greatest(scores: _*).getField("c")
-  }
+  def centroidSign(c: Column, i: Column): Column =
+    when(pmod(pmod((c + 1) * lit(2654435761L) + (i + 1) * lit(1315423911L),
+      lit(1000003L)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** IVF probe scores of a vector against every centroid: array of
-    * (dot, centroid) structs, descending by dot. Centroids are
-    * deterministic hash-derived ±1 directions (a trained k-means codebook
-    * slots in identically).
+  /** IVF probe scores of a vector against every centroid: (dot, centroid)
+    * structs with the dot ROUNDED to 9 dp before any comparison (summation
+    * order differs across engines/partitionings) and ties broken by larger
+    * centroid id — both reproducible in the oracle.
     */
   private def ivfScores(vecCol: Column, nCentroids: Int, dims: Int): Seq[Column] =
     (0 until nCentroids).map { c =>
       val dot = aggregate(
         zip_with(vecCol, typedLit((0 until dims).map(_.toLong)),
-          (v, i) => v.cast("double") *
-            when(pmod(hash(lit(c), i, lit(7)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          (v, i) => v.cast("double") * centroidSign(lit(c.toLong), i)),
         lit(0.0), (acc, x) => acc + x)
-      struct(dot.as("dot"), lit(c).as("c"))
+      struct(round(dot, 9).as("dot"), lit(c).as("c"))
     }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `nCentroids` deterministic probe directions. ANN search then only
+    * scans the probe's bucket: the standard inverted-file trade.
+    * Nearest = max (rounded) dot, ties to the larger centroid id.
+    */
+  def ivfBucket(vecCol: Column, nCentroids: Int, dims: Int): Column =
+    greatest(ivfScores(vecCol, nCentroids, dims): _*).getField("c")
 
   /** Multi-probe IVF cosine top-k: corpus vectors live in their single
     * nearest-centroid bucket; each query probes its `probes` nearest
@@ -154,7 +154,10 @@ object Similarity {
       ivfBucket(col(vecCol), nCentroids, dims).as("bucket"))
     val ranked = array_sort(array(ivfScores(col(vecCol), nCentroids, dims): _*),
       (a, b) => when(a.getField("dot") > b.getField("dot"), -1)
-        .when(a.getField("dot") < b.getField("dot"), 1).otherwise(0))
+        .when(a.getField("dot") < b.getField("dot"), 1)
+        // full tie-break (larger centroid id first, matching ivfBucket's
+        // greatest()) so the probe ORDER is engine-reproducible too
+        .when(a.getField("c") > b.getField("c"), -1).otherwise(1))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       explode(slice(transform(ranked, s => s.getField("c")), 1, probes)).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))

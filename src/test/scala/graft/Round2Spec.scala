@@ -145,11 +145,18 @@ class Round2Spec extends AnyFunSuite {
   test("ngram jaccard: df-capped candidates produce identical pairs") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" < 200)
-    val capped = graft.textops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.35)
+    // the cap is opt-in (default is exact, ADVICE r2); a generous cap must
+    // not change results, a degenerate cap must drop pairs OBSERVABLY
+    val capped = graft.textops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.35,
+        maxShingleDf = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val uncapped = graft.textops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.35,
-        maxShingleDf = Int.MaxValue)
+    val uncapped = graft.textops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped == uncapped)
+    assert(uncapped.nonEmpty)
+    val starved = graft.textops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.35,
+        maxShingleDf = 0)
+      .collect()
+    assert(starved.isEmpty)
   }
 }

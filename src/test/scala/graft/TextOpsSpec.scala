@@ -13,7 +13,7 @@ class TextOpsSpec extends AnyFunSuite {
   val fixture = Seq(
     (0L, "the quick brown fox jumps over the lazy dog"),
     (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
-    (2L, "the quick brown fox jumps over a lazy dog"),   // near dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog today"), // near dup of 0 (superset)
     (3L, "completely different words entirely unrelated content here"),
     (4L, "der hund ist gross und die katze ist klein")
   ).toDF("doc_id", "text")
@@ -24,18 +24,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
-  test("minhash: identical token sets collide on every band; near-dups verified by jaccard") {
+  test("minhash: near-dups verified by jaccard; identical texts collapse to exact's survivor") {
     val pairs = Dedup.minhashDedup(fixture, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
-    // identical token sets collide on EVERY band — guaranteed, not probabilistic
-    assert(asMap((0L, 1L)) == 1.0)
+    // docs 0/2 share 8/9 tokens — banding catches them, verify is exact
+    assert(math.abs(asMap((0L, 2L)) - 0.888889) < 1e-6)
     assert(!asMap.contains((0L, 3L)))
+    // docs 0/1 are byte-identical: that's exact()'s output (survivor 0,
+    // n_copies 2), NOT a minhash pair — the duplicate-heavy-corpus guard
+    assert(!asMap.contains((0L, 1L)))
     // verify step computes exact jaccard for an explicit candidate: 8/9
     val tids = Dedup.docTokenIds(fixture, "doc_id", "text")
     val j = Dedup.jaccardVerify(Seq((0L, 2L)).toDF("doc_a", "doc_b"), tids, 0.0)
       .first().getDouble(2)
     assert(math.abs(j - 0.888889) < 1e-6)
+  }
+
+  test("minhash duplicate guard: k identical docs yield O(1) candidates, not O(k^2)") {
+    // 60 byte-identical docs + 2 distinct ones: without the exact-first
+    // collapse the band self-join would emit 60*59/2 pairs per band
+    val dup = (0L until 60L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((100L, "an entirely different sentence about graphs"),
+          (101L, "the quick brown fox jumps over a sleepy dog"))
+    val df = dup.toDF("doc_id", "text")
+    val survivors = df.groupBy($"text").agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"text")
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(Dedup.docTokenIds(survivors, "doc_id", "text")))
+    assert(cands.count() <= 3) // pairs among 3 distinct texts only
+    // and the end-to-end pipeline reports no intra-duplicate pairs
+    val pairs = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => !(a < 60 && b < 60) })
+    // the duplicate group itself is exact()'s output
+    val ex = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ex.contains((0L, 60L)))
   }
 
   test("simhash: equal token sets → equal signature; disjoint sets differ") {

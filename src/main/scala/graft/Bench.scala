@@ -62,6 +62,16 @@ object Bench {
             .getOrElse("")
         } catch { case _: Throwable => "" }
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
+    // dedup/ANN corpus-scale throughput: measured by graft.DedupBench
+    // (1M-doc / 200k-vector synthetic corpus, BENCH/DEDUP.md) — cached
+    // record embedded with provenance, same pattern as the frontier block
+    val dedup =
+      try {
+        val md = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH/DEDUP.md"))
+        md.linesIterator.find(_.startsWith("{\"metric\":\"dedup_docs_per_sec"))
+          .map(j => s""","dedup":{"source":"BENCH/DEDUP.md (graft.DedupBench)","result":$j}""")
+          .getOrElse("")
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling$dedup}""")
   }
 }

@@ -39,6 +39,11 @@ object PlanAudit {
     graft.frontier.UrlSeen.unseen(spark, tmp,
       Seq("com,a)/x", "com,c)/z").toDF("key")).explain("formatted")
 
+    println("=== ANN multi-probe scoring (vec_dot must sit in WholeStageCodegen, norms precomputed before the join) ===")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 100)
+    graft.textops.Similarity.lshTopK(vecs.filter(col("vec_id") < 5), vecs,
+      "vec_id", "embedding", k = 5).explain("formatted")
+
     spark.stop()
   }
 }

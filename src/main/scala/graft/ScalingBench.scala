@@ -241,6 +241,10 @@ object ScalingBench {
          |```json
          |$json
          |```
+         |
+         |Dedup/ANN-family corpus-scale throughput (minhashDedup, lshTopK over
+         |1M docs / 200k vectors): see `BENCH/DEDUP.md` (graft.DedupBench);
+         |the record is embedded in the Bench JSON as the `dedup` block.
          |""".stripMargin
     val out = java.nio.file.Paths.get("BENCH/BASELINE.md")
     java.nio.file.Files.createDirectories(out.getParent)

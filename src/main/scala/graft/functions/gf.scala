@@ -47,6 +47,13 @@ object gf {
   def extract_urls(text: Column): Column =
     regexp_extract_all(text, lit("""https?://[^\s"'<>]+"""), lit(0))
 
+  /** Codegen'd dot product of two numeric array columns in double —
+    * bit-identical to the `aggregate(zip_with(...))` composition but a tight
+    * loop instead of an interpreted per-element lambda (the ANN pair-scoring
+    * hot kernel).
+    */
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+
   /** k-th Bloom hash of a string key via double hashing over two independent
     * xxhash64 draws: `h_k = h1 + k*h2 (mod bits)`. Built-in xxhash64 keeps this
     * inside whole-stage codegen; the same arithmetic is reproduced in the

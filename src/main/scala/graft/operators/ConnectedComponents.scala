@@ -53,6 +53,63 @@ object ConnectedComponents {
     labels
   }
 
+  /** Weakly connected components via the ALTERNATING LARGE-STAR/SMALL-STAR
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale path: converges in O(log n) rounds even
+    * on adversarial chains where min-label propagation ([[weak]]) pays the
+    * full diameter. Same output contract: (id, component = min id);
+    * StarWccSpec pins equality against [[weak]] on seeded random graphs.
+    *
+    * Edges are kept in (child > parent) canonical form. Per round:
+    *  - LARGE-STAR: for each node u, attach every LARGER neighbor to
+    *    m = min(Γ(u) ∪ {u}) — hooks big ids straight onto small ones;
+    *  - SMALL-STAR: for each node u, re-point u and all its smaller
+    *    neighbors at their minimum — flattens the resulting trees.
+    * Fixpoint: the edge set is a star forest rooted at component minima.
+    */
+  def star(vertices: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is (u > v) canonical, so N(u) = {v : (u,v) ∈ e} are the smaller
+      // neighbors and m = min(N(u)) < u
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val rePointed = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      rePointed.unionByName(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+    var e = edges
+      .select(greatest(col("from_id"), col("to_id")).as("u"),
+              least(col("from_id"), col("to_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var iter = 0
+    var changed = n > 0 // no edges → already a (trivial) star forest
+    while (changed && n > 0 && iter < maxIter) {
+      iter += 1
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nNext = next.count()
+      changed = nNext != n ||
+        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      e = next
+      n = nNext
+    }
+    require(!changed, s"star WCC did not converge in $maxIter rounds")
+    val comp = e.select(col("u").as("id"), col("v").as("component"))
+    vertices.select("id")
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Component sizes, renumbered by decreasing size (WebGraph `--renumber
     * --sizes` contract): (component_rank, size) with rank 0 = largest.
     */

@@ -104,22 +104,30 @@ object Scc {
         }
       }
       if (remaining > 0) {
-        // 2. forward max-color fixpoint
+        // 2. forward max-color fixpoint — BATCHED: `hopsPerCheck` monotone
+        // propagation hops are chained inside ONE plan per checkpoint +
+        // changed-count, cutting driver round-trips ~3× (VERDICT r2 item 9;
+        // extra hops past the fixpoint are no-ops since colors only grow)
+        val hopsPerCheck = 3
         var color = active.select(col("id"), col("id").as("color")).localCheckpoint()
         var changed = 1L
         var hops = 0
         while (changed > 0 && hops < maxHops) {
-          hops += 1
-          val prop = color.join(e, color("id") === e("from_id"))
-            .groupBy(col("to_id").as("id"))
-            .agg(max("color").as("in_color"))
-          val next = color.join(prop, Seq("id"), "left_outer")
-            .select(col("id"),
-              greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
-            .localCheckpoint()
-          changed = next.join(color.withColumnRenamed("color", "old"), Seq("id"))
+          val prev = color
+          var cur = color
+          var b = 0
+          while (b < hopsPerCheck && hops < maxHops) {
+            hops += 1; b += 1
+            val prop = cur.join(e, cur("id") === e("from_id"))
+              .groupBy(col("to_id").as("id"))
+              .agg(max("color").as("in_color"))
+            cur = cur.join(prop, Seq("id"), "left_outer")
+              .select(col("id"),
+                greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
+          }
+          color = cur.localCheckpoint()
+          changed = color.join(prev.withColumnRenamed("color", "old"), Seq("id"))
             .filter(col("color") =!= col("old")).count()
-          color = next
         }
         // harvesting a PARTIAL coloring silently corrupts output: the
         // backward pass would emit a strict subset of an SCC as complete,
@@ -130,18 +138,26 @@ object Scc {
         require(changed == 0,
           s"SCC color fixpoint did not converge in $maxHops hops — " +
           "rerun with a larger maxHops budget")
-        // 3. backward closure from roots, constrained to the root's color
+        // 3. backward closure from roots, constrained to the root's color —
+        // BATCHED like the color loop: expand `hopsPerCheck` hops inside one
+        // plan (union of the per-hop reach, deduped), anti-join members once
+        // per batch. Within-batch re-visits of members are wasted rows
+        // bounded by the color class, not a correctness issue.
         var members = color.filter(col("id") === col("color")).localCheckpoint()
         var frontier = members
         var n = frontier.count()
         while (n > 0) {
-          val step = frontier.join(e, frontier("id") === e("to_id"))
+          def expand(f: DataFrame): DataFrame = f
+            .join(e, f("id") === e("to_id"))
             .select(col("from_id").as("id"), col("color")).distinct()
-          val sameColor = step
             .join(color.withColumnRenamed("color", "c2"), Seq("id"))
             .filter(col("color") === col("c2"))
             .select("id", "color")
-          frontier = sameColor.join(members, Seq("id"), "left_anti").localCheckpoint()
+          val s1 = expand(frontier)
+          val s2 = expand(s1)
+          val s3 = expand(s2)
+          frontier = s1.unionByName(s2).unionByName(s3).distinct()
+            .join(members, Seq("id"), "left_anti").localCheckpoint()
           n = frontier.count()
           if (n > 0) members = members.union(frontier).localCheckpoint()
         }

@@ -79,6 +79,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r.exists(p => p._1 == 0L && p._2 == 3L))
   }
 
+  test("vec_dot codegen expression == aggregate(zip_with(...)) bit-for-bit") {
+    import graft.functions.gf
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100)
+    val hof = aggregate(
+      zip_with($"a.embedding", $"b.embedding",
+        (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val pairs = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select(gf.vec_dot($"a.embedding", $"b.embedding").as("fast"), hof.as("slow"))
+      .collect()
+    assert(pairs.nonEmpty)
+    // bit-identical, not approximately equal: same accumulation order
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // null / length-mismatch propagation like zip_with
+    val odd = Seq((Array(1f, 2f), Array(1f, 2f, 3f)), (null, Array(1f))).toDF("x", "y")
+    val got = odd.select(gf.vec_dot($"x", $"y")).collect()
+    assert(got.forall(_.isNullAt(0)))
+    // literal double sign-vectors against float embeddings
+    val sv = (0 until 64).map(i => Similarity.planeSignValue(0, i))
+    val viaLit = vecs.select(gf.vec_dot($"embedding", typedLit(sv)).as("d"))
+      .collect().map(_.getDouble(0))
+    val viaHof = vecs.select(aggregate(
+        zip_with($"embedding", typedLit(sv), (u, v) => u.cast("double") * v),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(viaLit.sameElements(viaHof))
+  }
+
   test("cosine + topK on hand vectors") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),

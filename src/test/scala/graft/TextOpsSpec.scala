@@ -63,6 +63,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ex.contains((0L, 60L)))
   }
 
+  test("hashed-token minhash (vocab-free scale path): sound pairs, identical jaccard values") {
+    val pairs = Dedup.minhashDedupHashed(fixture, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every reported pair really clears the exact set-Jaccard bar
+    // (computed over the arithmetic ids — same token SETS, same jaccard)
+    val tids = Dedup.docTokenIds(fixture, "doc_id", "text")
+    pairs.foreach { case ((a, b), j) =>
+      val exactJ = Dedup.jaccardVerify(Seq((a, b)).toDF("doc_a", "doc_b"), tids, 0.0)
+        .first().getDouble(2)
+      assert(j == exactJ && j >= 0.5)
+    }
+    // identical token sets have identical hashed signatures — collide on
+    // every band regardless of hash values; via the survivor collapse they
+    // appear as exact()'s group, never as a pair
+    assert(!pairs.contains((0L, 1L)))
+    // duplicate-guard holds on the hashed path too
+    val dup = (0L until 40L).map(i => (i, "same text for every doc")) :+
+      ((99L, "something else entirely"))
+    val cands = Dedup.minhashCandidates(Dedup.minhashSignatures(
+      Dedup.docTokenIdsHashed(
+        dup.toDF("doc_id", "text").groupBy($"text")
+          .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+          .select($"doc_id", $"text"), "doc_id", "text")))
+    assert(cands.count() <= 1)
+  }
+
   test("simhash: equal token sets → equal signature; disjoint sets differ") {
     val sig = Dedup.simhash(Dedup.docTokenIds(fixture, "doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -155,6 +155,21 @@ object TextQueries {
         .select(col("media_id"), col("decoded._1").as("format"),
           col("decoded._2").as("width"), col("decoded._3").as("height"))
         .orderBy("media_id")
+    }),
+    // REAL frame sampling over REAL animated GIFs: encode n-frame GIFs with
+    // javax.imageio's sequence writer, uniformly sample k=3 frames, re-decode
+    // each sampled frame's header — frame count and per-frame dims are
+    // oracle-computable from doc_id arithmetic (which FRAME each index picked
+    // is pinned by pixel color in TextOpsSpec, not SQL-expressible)
+    "q_media_frames" -> ((s, dir) => {
+      val media = docs(s, dir).filter(col("doc_id") < 200)
+        .select(concat(lit("vid-"), col("doc_id"), lit(".gif")).as("media_id"),
+          Multimodal.encodeGif(
+            (lit(8) + col("doc_id") % 24).cast("int"),
+            (lit(8) + (col("doc_id") * 5) % 24).cast("int"),
+            (lit(1) + col("doc_id") % 7).cast("int")).as("bytes"))
+      Multimodal.frameTable(media, k = 3)
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -394,6 +409,13 @@ object TextQueries {
         |  CAST(64 AS INT) AS resized_width, CAST(64 AS INT) AS resized_height,
         |  CAST(64 AS INT) AS emb_dims
         |FROM documents WHERE doc_id < 300 ORDER BY media_id""".stripMargin,
+    "q_media_frames" ->
+      """SELECT 'vid-' || doc_id || '.gif' AS media_id,
+        |  CAST(fi AS INT) AS frame_idx, 'png' AS format,
+        |  CAST(8 + doc_id % 24 AS INT) AS width,
+        |  CAST(8 + (doc_id * 5) % 24 AS INT) AS height
+        |FROM documents, unnest([0, 1, 2]) AS u(fi)
+        |WHERE doc_id < 200 ORDER BY media_id, frame_idx""".stripMargin,
     "q_fingerprint" ->
       """WITH pt AS (SELECT doc_id AS doc, unnest(string_split(lower(trim(text)), ' ')) AS tok,
         |                   generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos

@@ -10,10 +10,13 @@ import graft.functions.Hll
   * metadata, plus decode / feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing (schemas, partitioning, batch shapes, column
-  * lineage) is REAL and tested; the media KERNELS are deterministic STUBS —
-  * this container ships no image/audio codecs. Each stub is marked and keeps
-  * the exact signature a real kernel (JNI codec, ONNX encoder) would have,
-  * so swapping one in changes no plan shape.
+  * lineage) is REAL and tested. The KERNELS are real pure-JVM
+  * implementations via `javax.imageio` + `Graphics2D` (PNG/GIF
+  * encode/decode, bilinear resize, uniform temporal frame sampling,
+  * intensity-grid embedding); only payloads in formats the JVM ships no
+  * codec for (e.g. MP4/JPEG-XL) fall back to clearly-marked deterministic
+  * STUB values, keeping every signature and plan shape identical to what a
+  * JNI codec / ONNX encoder drop-in would use.
   */
 object Multimodal {
 
@@ -139,31 +142,155 @@ object Multimodal {
     }
   })
 
-  /** STUB frame sampling: k deterministic "frames" per video payload. */
-  val sampleFrames = F.udf((bytes: Array[Byte], k: Int) => {
-    if (bytes == null) Array.empty[Array[Byte]]
-    else (0 until k).map { i =>
-      val st = Hll.mix64(bytes.foldLeft(i.toLong + 1)((acc, b) => acc * 31 + b))
-      Array.tabulate[Byte](16)(j => (st >>> (j * 4)).toByte)
-    }.toArray
+  /** REAL multi-frame encode: n deterministic solid-color frames → animated
+    * GIF bytes via the JDK's `javax.imageio` GIF sequence writer (pure JVM).
+    * Frame f is filled with palette color f (pixel value encodes the frame
+    * index), so the frame-sampling kernel's index arithmetic is verifiable
+    * by decoding a sampled frame's pixels (TextOpsSpec).
+    */
+  val encodeGif = F.udf((w: Int, h: Int, nFrames: Int) => {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          // color channels spread the index so GIF palette quantization
+          // cannot merge two frame colors
+          g.setColor(new java.awt.Color((f * 37) % 256, (f * 101) % 256, (f * 197) % 256))
+          g.fillRect(0, 0, w, h)
+        } finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
   })
 
-  /** STUB feature extraction: binary → unit-norm float[dims] embedding
-    * (deterministic from the payload). Slot an ONNX/JNI encoder here.
+  /** REAL frame sampling: parse the container with `javax.imageio`, read its
+    * frame count, decode k evenly-spaced frames (frame i ↦ index ⌊i·n/k⌋ —
+    * the uniform temporal sampling a training pipeline wants), re-encode
+    * each as PNG. Works for any multi-frame format the JVM ships a reader
+    * for (GIF in this container; TIFF in newer JDKs). Payloads no reader
+    * recognizes (real-world MP4 etc. — codec-bound) fall back to the
+    * deterministic STUB frames so downstream plans stay testable.
     */
-  def embedStub(dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  val sampleFrames = F.udf((bytes: Array[Byte], k: Int) => {
+    if (bytes == null) Array.empty[Array[Byte]]
+    else {
+      val real =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                val n = r.getNumImages(true)
+                if (n >= 1) Some((0 until k).map { i =>
+                  val frame = r.read(math.min(i * n / k, n - 1))
+                  val out = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(frame, "png", out)
+                  out.toByteArray
+                }.toArray)
+                else None
+              } finally r.dispose()
+            } else None
+          } finally if (iis != null) iis.close()
+        } catch { case _: java.io.IOException => None }
+      real.getOrElse {
+        // STUB fallback: deterministic pseudo-frames from the payload hash
+        (0 until k).map { i =>
+          val st = Hll.mix64(bytes.foldLeft(i.toLong + 1)((acc, b) => acc * 31 + b))
+          Array.tabulate[Byte](16)(j => (st >>> (j * 4)).toByte)
+        }.toArray
+      }
+    }
+  })
+
+  /** REAL feature extraction: decode, downscale to a √dims × √dims grid
+    * (Graphics2D bilinear — the same pure-JVM kernel as [[resizeImage]]),
+    * take per-cell luminance, unit-normalize → a deterministic
+    * intensity-grid embedding (the perceptual-hash family: nearby images ↦
+    * nearby vectors, so cosine similarity downstream is meaningful). Slot an
+    * ONNX/JNI encoder here for learned embeddings — same signature, same
+    * plan shape. `dims` must be a perfect square for the image path;
+    * undecodable payloads fall back to a deterministic hash STUB vector so
+    * the synthetic media-table plumbing stays testable.
+    */
+  def embedImage(dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     F.udf((bytes: Array[Byte]) => {
       if (bytes == null) null
       else {
-        var st = bytes.foldLeft(42L)((acc, b) => acc * 31 + b)
-        val v = Array.tabulate(dims) { _ =>
-          st = Hll.mix64(st)
-          ((st & 0xFFFF).toFloat / 32768f) - 1f
+        val side = math.sqrt(dims.toDouble).toInt
+        val decoded =
+          if (side * side != dims) None
+          else
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+        decoded match {
+          case Some(src) =>
+            val grid = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = grid.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, side, side, null)
+            } finally g.dispose()
+            val v = Array.tabulate(dims) { i =>
+              val rgb = grid.getRGB(i % side, i / side)
+              // ITU-R BT.601 luma, scaled to [0,1]
+              (0.299f * ((rgb >> 16) & 0xFF) + 0.587f * ((rgb >> 8) & 0xFF) +
+                0.114f * (rgb & 0xFF)) / 255f
+            }
+            val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+            if (n > 1e-6f) v.map(_ / n)
+            else Array.fill(dims)(1f / math.sqrt(dims.toDouble).toFloat) // all-black image
+          case None =>
+            // STUB fallback: deterministic from the payload hash
+            var st = bytes.foldLeft(42L)((acc, b) => acc * 31 + b)
+            val v = Array.tabulate(dims) { _ =>
+              st = Hll.mix64(st)
+              ((st & 0xFFFF).toFloat / 32768f) - 1f
+            }
+            val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+            v.map(_ / n)
         }
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-        v.map(_ / n)
       }
     })
+
+  /** Video path: sample k frames per payload, explode to one row per frame,
+    * decode each frame's header — (media_id, frame_idx, format, width,
+    * height). Repartitions by media_id first so frame-decode work spreads
+    * evenly regardless of source layout; at 100 TB the explode multiplies
+    * rows by k, so the shuffle happens on the SMALL (one-row-per-video)
+    * side before the blowup.
+    */
+  def frameTable(media: DataFrame, k: Int = 3, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+            else media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    media.repartition(p, col("media_id"))
+      .select(col("media_id"),
+        posexplode(sampleFrames(col("bytes"), lit(k))).as(Seq("frame_idx", "frame")))
+      .withColumn("decoded", decodeImage(col("frame")))
+      .select(col("media_id"), col("frame_idx"),
+        col("decoded._1").as("format"),
+        col("decoded._2").as("width"),
+        col("decoded._3").as("height"))
+  }
 
   /** decode → resize → embed pipeline over the media table: the plan a real
     * multimodal featurizer runs, with stub kernels. Repartitions by media_id
@@ -178,7 +305,7 @@ object Multimodal {
       // re-decode the resized payload: proves the resize kernel really
       // produced a 64×64 image (oracle-checkable in q_media_features)
       .withColumn("rdec", decodeImage(col("resized")))
-      .withColumn("embedding", embedStub(dims)(col("resized")))
+      .withColumn("embedding", embedImage(dims)(col("resized")))
       .select(col("media_id"), col("kind"), col("meta"),
         col("decoded._1").as("format"),
         col("decoded._2").as("width"),

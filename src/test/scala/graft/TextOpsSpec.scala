@@ -197,4 +197,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(embA.forall(v => math.abs(v.map(x => x * x).sum - 1.0) < 1e-3))
     assert(a.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64))
   }
+
+  test("frame sampling: uniform ⌊i·n/k⌋ indices verified by frame pixel color") {
+    def frameColor(png: Array[Byte]): (Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val rgb = img.getRGB(0, 0)
+      ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+    }
+    def expectColor(f: Int) = ((f * 37) % 256, (f * 101) % 256, (f * 197) % 256)
+    // n=7 frames, k=3 → indices 0, 2, 4; n=2, k=3 → indices 0, 0, 1
+    val out = Seq((7, 3), (2, 3)).toDF("n", "k")
+      .select($"n", $"k",
+        Multimodal.sampleFrames(Multimodal.encodeGif(lit(12), lit(10), $"n"), $"k").as("frames"))
+      .collect().map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Array[Byte]]]("frames").map(frameColor).toSeq)).toMap
+    assert(out(7) == Seq(0, 2, 4).map(expectColor))
+    assert(out(2) == Seq(0, 0, 1).map(expectColor))
+  }
+
+  test("intensity-grid embedding: real luminance path, not the hash stub") {
+    val rows = Seq((64, 64, 1L), (64, 64, 1L), (64, 64, 2L)).toDF("w", "h", "seed")
+      .select(Multimodal.embedImage(16)(
+        Multimodal.encodePng($"w", $"h", $"seed")).as("e"))
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("e"))
+    // luminance grid ⇒ all components non-negative (the stub has negatives)
+    assert(rows.forall(v => v.forall(_ >= 0f)))
+    assert(rows.forall(v => math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-3))
+    // identical pixels → identical embedding; different pixels → different
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+    // an all-white image is a uniform unit vector: cos = 1/√16 per cell
+    val white = new java.awt.image.BufferedImage(20, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = white.createGraphics()
+    g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 20, 20); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(white, "png", bos)
+    val wv = Seq(Tuple1(bos.toByteArray)).toDF("b")
+      .select(Multimodal.embedImage(16)($"b").as("e"))
+      .first().getAs[scala.collection.Seq[Float]]("e")
+    assert(wv.forall(x => math.abs(x - 0.25f) < 1e-4))
+  }
 }

@@ -247,23 +247,58 @@ object SparkEntry {
         .groupBy("surt_key").agg(count(lit(1)).as("cnt"))
         .orderBy("surt_key")
     }),
-    // North-rule core: 3 frontier rounds over a synthetic corpus — exact
-    // crawl order (round, seq, url). Not SQL-expressible (stateful rounds);
-    // correctness is pinned by FrontierSpec's sequential oracle.
+    // North-rule core: 3 REAL frontier rounds (salted politeness top-k,
+    // Bloom-pruned exact seen-set, robots-at-enqueue, delta-pending commits,
+    // round markers) — with a corpus whose link structure is arithmetic-only
+    // (quadratic-skew host index, modular link targets; no engine hashes),
+    // so the ENTIRE stateful crawl — selection, ordering, robots, seen-set,
+    // all 3 rounds — is replicated in DuckDB as an unrolled 3-round CTE and
+    // hash-checked end to end. The frontier machinery underneath is the real
+    // path (the bloom prunes, the exact anti-join decides). SynthDocs +
+    // harmonic-priority wiring stays covered by FrontierSpec/ScalingBench.
     "q_frontier_log" -> ((s, dir) => {
       import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
-      import graft.sources.SynthDocs
+      import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft_frontier").toString
       val c = Frontier.Config(root, defaultTokens = 2, saltBuckets = 4,
         seenCfg = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 14, numHashes = 5))
-      val docs = SynthDocs.docs(s, 400, 30).toDF()
+      val n = 400L
+      // host index: quadratic-skew integer arithmetic (host 0 hottest);
+      // exact in both engines — (x - x mod d)/d is integer division
+      def hostOf(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val m = pmod(i * 31, lit(101L))
+        val x = m * m * lit(30L)
+        ((x - pmod(x, lit(10201L))) / lit(10201L)).cast("int")
+      }
+      def urlOf(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("https://site"), hostOf(i), lit(".com/page/"), i)
+      val base = s.read.parquet(t(dir, "documents"))
+        .filter(col("doc_id") < n).select(col("doc_id").cast("long").as("i"))
+      // interleaved input_hint shape: text spans embed two outlink URLs,
+      // every third doc adds a media span whose media_ref is a third link
+      val textSpan = struct(lit("text").as("kind"),
+        concat(lit("lorem "), urlOf(pmod(col("i") * 17 + 1, lit(n))),
+          lit(" ipsum "), urlOf(pmod(col("i") * 23 + 5, lit(n))),
+          lit(" dolor")).as("text"),
+        lit(null).cast("string").as("media_ref"), lit(0).as("offset"))
+      val mediaSpan = struct(lit("media").as("kind"),
+        lit(null).cast("string").as("text"),
+        urlOf(pmod(col("i") * 29 + 11, lit(n))).as("media_ref"),
+        lit(200).as("offset"))
+      val docs = base.select(urlOf(col("i")).as("doc_id"),
+        when(pmod(col("i"), lit(3L)) === 0, array(textSpan, mediaSpan))
+          .otherwise(array(textSpan)).as("spans"))
       val fetcher = new CorpusFetcher(docs)
-      val priorities = Frontier.hostPriorities(docs).localCheckpoint()
-      val budgets = SynthDocs.politeness(s, 30)
-        .select(gf.reverse_host(col("host")).as("rev_host"), col("tokens_per_round"))
-      val robots = s.emptyDataFrame
-        .selectExpr("'' as rev_host", "array('') as disallow_prefixes").limit(0)
-      Frontier.init(s, c, SynthDocs.seeds(s, 8, 30), priorities, robots)
+      val priorities = s.range(30).select(
+        concat(lit("com.site"), col("id")).as("rev_host"),
+        ((pmod(col("id") * 13, lit(17L)) + 1) / lit(16.0)).as("priority"))
+      val budgets = s.range(30).select(
+        concat(lit("com.site"), col("id")).as("rev_host"),
+        (pmod(col("id"), lit(3L)) + 1).cast("int").as("tokens_per_round"))
+      val robots = Seq(("com.site2", Seq("/page/1")))
+        .toDF("rev_host", "disallow_prefixes")
+      Frontier.init(s, c, s.range(8).select(urlOf(col("id")).as("url")),
+        priorities, robots)
       Frontier.run(s, c, fetcher, 3, budgets, robots, priorities)
       Frontier.fetchLog(s, c)
     }),
@@ -460,6 +495,71 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = TextQueries.oracleSql ++ Map(
+    // the whole stateful crawl, unrolled: corpus/link arithmetic mirrors the
+    // Spark-side generator exactly (integer-only, so bit-identical across
+    // engines); each round r = politeness top-k per host from pending →
+    // log; outlinks of selected → robots filter → seen anti-join → enqueue.
+    // seq ranks the union over (round, priority desc, rev_host, url) — the
+    // same total order fetchLog() exports.
+    "q_frontier_log" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS i,
+        |         ((((doc_id * 31) % 101) * ((doc_id * 31) % 101) * 30) // 10201) AS h
+        |  FROM documents WHERE doc_id < 400),
+        |urls AS (
+        |  SELECT i, h,
+        |         'https://site' || h || '.com/page/' || i AS url,
+        |         'com.site' || h AS rev_host,
+        |         '/page/' || i AS path
+        |  FROM corpus),
+        |hosts AS (
+        |  SELECT DISTINCT h,
+        |         (((h * 13) % 17) + 1) / 16.0 AS priority,
+        |         ((h % 3) + 1) AS tokens
+        |  FROM corpus),
+        |links AS (
+        |  SELECT u.url AS src, v.url AS "out"
+        |  FROM urls u JOIN urls v ON v.i = (u.i * 17 + 1) % 400
+        |  UNION
+        |  SELECT u.url, v.url FROM urls u JOIN urls v ON v.i = (u.i * 23 + 5) % 400
+        |  UNION
+        |  SELECT u.url, v.url FROM urls u JOIN urls v ON v.i = (u.i * 29 + 11) % 400
+        |  WHERE u.i % 3 = 0),
+        |allowed AS (
+        |  SELECT u.i, u.url, u.rev_host, hp.priority, hp.tokens
+        |  FROM urls u JOIN hosts hp ON u.h = hp.h
+        |  WHERE NOT (u.rev_host = 'com.site2' AND starts_with(u.path, '/page/1'))),
+        |pend0 AS (SELECT url, rev_host, priority, tokens FROM allowed WHERE i < 8),
+        |seen0 AS (SELECT url FROM pend0),
+        |sel0 AS (SELECT url, rev_host, priority FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rev_host ORDER BY priority DESC, url) AS rn
+        |  FROM pend0) WHERE rn <= tokens),
+        |new0 AS (SELECT url, rev_host, priority, tokens FROM allowed
+        |  WHERE url IN (SELECT "out" FROM links WHERE src IN (SELECT url FROM sel0))
+        |    AND url NOT IN (SELECT url FROM seen0)),
+        |seen1 AS (SELECT url FROM seen0 UNION ALL SELECT url FROM new0),
+        |pend1 AS (SELECT * FROM pend0 WHERE url NOT IN (SELECT url FROM sel0)
+        |  UNION ALL SELECT * FROM new0),
+        |sel1 AS (SELECT url, rev_host, priority FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rev_host ORDER BY priority DESC, url) AS rn
+        |  FROM pend1) WHERE rn <= tokens),
+        |new1 AS (SELECT url, rev_host, priority, tokens FROM allowed
+        |  WHERE url IN (SELECT "out" FROM links WHERE src IN (SELECT url FROM sel1))
+        |    AND url NOT IN (SELECT url FROM seen1)),
+        |seen2 AS (SELECT url FROM seen1 UNION ALL SELECT url FROM new1),
+        |pend2 AS (SELECT * FROM pend1 WHERE url NOT IN (SELECT url FROM sel1)
+        |  UNION ALL SELECT * FROM new1),
+        |sel2 AS (SELECT url, rev_host, priority FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rev_host ORDER BY priority DESC, url) AS rn
+        |  FROM pend2) WHERE rn <= tokens),
+        |lg AS (
+        |  SELECT 0 AS round, url, rev_host, priority FROM sel0
+        |  UNION ALL SELECT 1, url, rev_host, priority FROM sel1
+        |  UNION ALL SELECT 2, url, rev_host, priority FROM sel2)
+        |SELECT CAST(round AS INT) AS round,
+        |       row_number() OVER (ORDER BY round, priority DESC, rev_host, url) AS seq,
+        |       url
+        |FROM lg ORDER BY seq""".stripMargin,
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -170,6 +170,24 @@ object TextQueries {
             (lit(1) + col("doc_id") % 7).cast("int")).as("bytes"))
       Multimodal.frameTable(media, k = 3)
         .orderBy("media_id", "frame_idx")
+    }),
+    // REAL audio: encode integer-arithmetic PCM as WAV containers, decode +
+    // one-pass clip features (RMS, peak). The sample arithmetic is
+    // hash-free and its squares/sums stay integral, so RMS is bit-exact in
+    // DuckDB — a full-value oracle over a real DSP kernel
+    "q_media_audio" -> ((s, dir) => {
+      val media = docs(s, dir).filter(col("doc_id") < 200)
+        .select(concat(lit("aud-"), col("doc_id"), lit(".wav")).as("media_id"),
+          Multimodal.encodeWav(
+            (lit(800) + col("doc_id") % 200).cast("int"),
+            lit(8000), col("doc_id").cast("long")).as("bytes"))
+      media
+        .withColumn("d", Multimodal.decodeAudio(col("bytes")))
+        .select(col("media_id"), col("d._1").as("format"),
+          col("d._2").as("sample_rate_hz"), col("d._3").as("channels"),
+          col("d._4").as("frames"), col("d._5").as("rms"),
+          col("d._6").as("peak"))
+        .orderBy("media_id")
     })
   )
 
@@ -416,6 +434,16 @@ object TextQueries {
         |  CAST(8 + (doc_id * 5) % 24 AS INT) AS height
         |FROM documents, unnest([0, 1, 2]) AS u(fi)
         |WHERE doc_id < 200 ORDER BY media_id, frame_idx""".stripMargin,
+    "q_media_audio" ->
+      """SELECT 'aud-' || doc_id || '.wav' AS media_id, 'wave' AS format,
+        |  CAST(8000 AS INT) AS sample_rate_hz, CAST(1 AS INT) AS channels,
+        |  CAST(800 + doc_id % 200 AS BIGINT) AS frames,
+        |  sqrt(sum(pow(((doc_id + 1) * (t + 1)) % 2001 - 1000, 2))
+        |       / (800 + doc_id % 200)) AS rms,
+        |  max(abs(((doc_id + 1) * (t + 1)) % 2001 - 1000)) AS peak
+        |FROM documents CROSS JOIN UNNEST(range(0, 1000)) AS u(t)
+        |WHERE doc_id < 200 AND t < 800 + doc_id % 200
+        |GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q_fingerprint" ->
       """WITH pt AS (SELECT doc_id AS doc, unnest(string_split(lower(trim(text)), ' ')) AS tok,
         |                   generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos

@@ -272,6 +272,75 @@ object Multimodal {
       }
     })
 
+  /** REAL audio encode: deterministic 16-bit mono PCM → WAV container via
+    * `javax.sound.sampled` (pure JVM). Sample t is the integer-arithmetic
+    * `((seed+1)·(t+1)) mod 2001 − 1000` — no engine hash — so downstream
+    * features (RMS, peak) are recomputable bit-exactly in SQL: squares and
+    * their sums stay integral (≤ 2^53), making the double math identical
+    * across engines regardless of summation order.
+    */
+  val encodeWav = F.udf((nSamples: Int, sampleRate: Int, seed: Long) => {
+    val pcm = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val s = (((seed + 1) * (t + 1)) % 2001 - 1000).toInt
+      pcm(2 * t) = (s & 0xFF).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  })
+
+  /** REAL audio decode + feature extraction: parse the container header with
+    * `javax.sound.sampled`, stream the PCM frames, compute clip-level
+    * features (frame count, RMS energy, peak amplitude) in one pass —
+    * (format, sample_rate_hz, channels, frames, rms, peak). Works for any
+    * format the JVM ships a provider for (WAV/AIFF/AU); codec-bound
+    * payloads (MP3 etc.) fall back to the deterministic STUB tuple.
+    */
+  val decodeAudio = F.udf((bytes: Array[Byte]) => {
+    if (bytes == null) null
+    else {
+      val real =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1) {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              var sum = 0L
+              var peak = 0L
+              var i = 0
+              while (i < n) {
+                val lo = data(2 * i) & 0xFF
+                val hi = data(2 * i + 1).toInt << 8
+                val s = (lo | hi).toShort.toLong
+                sum += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                i += 1
+              }
+              val rms = if (n == 0) 0.0 else math.sqrt(sum.toDouble / n)
+              Some(("wave", fmt.getSampleRate.toInt, fmt.getChannels, n.toLong, rms, peak))
+            } else None
+          } finally ais.close()
+        } catch { case _: Exception => None }
+      real.getOrElse {
+        // STUB fallback: deterministic from the payload hash
+        val h = Hll.mix64(bytes.foldLeft(23L)((acc, b) => acc * 31 + b))
+        ("stub-pcm", 8000, 1, math.floorMod(h, 100000L),
+          math.floorMod(h >>> 16, 1000L).toDouble, math.floorMod(h >>> 32, 32768L))
+      }
+    }
+  })
+
   /** Video path: sample k frames per payload, explode to one row per frame,
     * decode each frame's header — (media_id, frame_idx, format, width,
     * height). Repartitions by media_id first so frame-decode work spreads

@@ -238,4 +238,18 @@ class TextOpsSpec extends AnyFunSuite {
       .first().getAs[scala.collection.Seq[Float]]("e")
     assert(wv.forall(x => math.abs(x - 0.25f) < 1e-4))
   }
+
+  test("audio: WAV container roundtrip, bit-exact RMS/peak vs direct arithmetic") {
+    val n = 850
+    val row = Seq(Tuple1(7L)).toDF("seed")
+      .select(Multimodal.decodeAudio(
+        Multimodal.encodeWav(lit(n), lit(8000), $"seed")).as("d"))
+      .first().getStruct(0)
+    assert(row.getString(0) == "wave" && row.getInt(1) == 8000 && row.getInt(2) == 1)
+    assert(row.getLong(3) == n.toLong)
+    val samples = (0 until n).map(t => (8L * (t + 1)) % 2001 - 1000)
+    val rms = math.sqrt(samples.map(s => s * s).sum.toDouble / n)
+    assert(row.getDouble(4) == rms) // integral sums → bit-exact, no epsilon
+    assert(row.getLong(5) == samples.map(math.abs).max)
+  }
 }

@@ -19,6 +19,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup outside the timings: JIT/codegen/scheduler start-up
+    // otherwise lands entirely on whichever query the Map iterates first
+    spark.range(100000).selectExpr("sum(id * 3 % 7)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

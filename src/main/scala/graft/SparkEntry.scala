@@ -247,6 +247,41 @@ object SparkEntry {
         .groupBy("surt_key").agg(count(lit(1)).as("cnt"))
         .orderBy("surt_key")
     }),
+    // A1/A2/A4: the reference's TSV graph interchange, round-tripped through
+    // the REAL sorted-gzip sink and schema-on-read scan — any quoting,
+    // ordering, schema, or compression bug in the IO seam breaks the hash
+    "q_tsv_roundtrip" -> ((s, dir) => {
+      import graft.sources.TextGraphIO
+      val root = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+      val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 500)
+      val verts = docs.select(col("doc_id").cast("long").as("id"),
+        concat(lit("com."), col("source"), lit("."), col("doc_id")).as("rev_name"),
+        (col("doc_id") % 7 + 1).cast("long").as("num_hosts"))
+      val edges = docs.select(col("doc_id").cast("long").as("from_id"),
+        pmod(col("doc_id") * 7 + 3, lit(500)).cast("long").as("to_id"))
+      TextGraphIO.writeVertices(verts, s"$root/vertices")
+      TextGraphIO.writeEdges(edges, s"$root/edges")
+      TextGraphIO.readEdges(s, s"$root/edges")
+        .join(TextGraphIO.readVertices(s, s"$root/vertices"),
+              col("from_id") === col("id"))
+        .select(col("from_id"), col("to_id"), col("rev_name"), col("num_hosts"))
+        .orderBy("from_id", "to_id")
+    }),
+    // A3/A5: the reference's binary float score-vector interchange (BinIO
+    // big-endian, offset = id × 4), round-tripped through the REAL dense-id
+    // writer and file reader; k/16 values are float-exact so the oracle is
+    // full-value
+    "q_binvec_roundtrip" -> ((s, dir) => {
+      import graft.sources.BinaryVectors
+      val root = java.nio.file.Files.createTempDirectory("graft_binvec").toString
+      val v = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 500)
+        .select(col("doc_id").cast("long").as("id"),
+          (col("doc_id") % 1000) / lit(16.0) as "value")
+      BinaryVectors.writeFloats(v, s"$root/ranks.bin")
+      BinaryVectors.readFloats(s, s"$root/ranks.bin")
+        .select(col("id"), col("value").cast("double").as("value"))
+        .orderBy("id")
+    }),
     // North-rule core: 3 REAL frontier rounds (salted politeness top-k,
     // Bloom-pruned exact seen-set, robots-at-enqueue, delta-pending commits,
     // round markers) — with a corpus whose link structure is arithmetic-only
@@ -495,6 +530,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = TextQueries.oracleSql ++ Map(
+    "q_tsv_roundtrip" ->
+      """SELECT doc_id AS from_id, (doc_id * 7 + 3) % 500 AS to_id,
+        |  'com.' || source || '.' || doc_id AS rev_name,
+        |  doc_id % 7 + 1 AS num_hosts
+        |FROM documents WHERE doc_id < 500 ORDER BY from_id, to_id""".stripMargin,
+    "q_binvec_roundtrip" ->
+      """SELECT doc_id AS id, (doc_id % 1000) / 16.0 AS value
+        |FROM documents WHERE doc_id < 500 ORDER BY id""".stripMargin,
     // the whole stateful crawl, unrolled: corpus/link arithmetic mirrors the
     // Spark-side generator exactly (integer-only, so bit-identical across
     // engines); each round r = politeness top-k per host from pending →

@@ -247,6 +247,30 @@ object SparkEntry {
         .groupBy("surt_key").agg(count(lit(1)).as("cnt"))
         .orderBy("surt_key")
     }),
+    // North-star robots.txt cache: REAL robots.txt parsing (declarative
+    // plan, no UDFs) over synthetic bodies covering case-insensitive keys,
+    // comments, empty Disallow, multi-agent groups, duplicate prefixes, and
+    // agent-specificity (exact name beats *); expected rules are analytic
+    "q_robots_parse" -> ((s, dir) => {
+      import graft.frontier.Robots
+      val i = col("doc_id")
+      val body =
+        when(i % 4 === 0, concat(
+          lit("User-agent: *\nDisallow: /a"), i,
+          lit("\nDisallow:\n# note\nUser-agent: graftbot\nDisallow: /g"), i))
+        .when(i % 4 === 1, concat(
+          lit("user-agent: GraftBot\nuser-agent: otherbot\nDisallow: /w"), i,
+          lit("\nDisallow: /w"), i))
+        .when(i % 4 === 2, lit("User-agent: otherbot\nDisallow: /x"))
+        .otherwise(lit("# comments only\nDisallow: /orphan"))
+      Robots.parse(
+        s.read.parquet(t(dir, "documents")).filter(i < 50)
+          .select(concat(lit("com.site"), i).as("rev_host"), body.as("body")),
+        agent = "graftbot")
+        .select(col("rev_host"),
+          array_join(col("disallow_prefixes"), "|").as("disallow"))
+        .orderBy("rev_host")
+    }),
     // A1/A2/A4: the reference's TSV graph interchange, round-tripped through
     // the REAL sorted-gzip sink and schema-on-read scan — any quoting,
     // ordering, schema, or compression bug in the IO seam breaks the hash
@@ -530,6 +554,12 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = TextQueries.oracleSql ++ Map(
+    "q_robots_parse" ->
+      """SELECT 'com.site' || doc_id AS rev_host,
+        |  CASE WHEN doc_id % 4 = 0 THEN '/g' || doc_id
+        |       ELSE '/w' || doc_id END AS disallow
+        |FROM documents WHERE doc_id < 50 AND doc_id % 4 IN (0, 1)
+        |ORDER BY rev_host""".stripMargin,
     "q_tsv_roundtrip" ->
       """SELECT doc_id AS from_id, (doc_id * 7 + 3) % 500 AS to_id,
         |  'com.' || source || '.' || doc_id AS rev_name,

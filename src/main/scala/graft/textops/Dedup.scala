@@ -69,15 +69,24 @@ object Dedup {
     * doc_a < doc_b, distinct.
     */
   def minhashCandidates(signatures: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = (0 until k / rowsPerBand).map { j =>
+    // ONE exploded (doc, band, band_key) table + ONE self-join on
+    // (band, band_key), not a union of per-band self-joins: the union shape
+    // recomputes the signature aggregation once per band per side (the
+    // differing band-key projections defeat exchange reuse — observed as 13
+    // corpus scans in the q_minhash physical plan), which at 10^10 docs is
+    // 2·(k/rowsPerBand) corpus passes. Here the signature plan appears once
+    // per side and the join shuffles (doc × nBands) small rows instead.
+    val bandKeys = (0 until k / rowsPerBand).map { j =>
       val keyCols = (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}"))
-      val keyed = signatures.select(col("doc"),
-        concat_ws(":", keyCols.map(_.cast("string")): _*).as("band_key"))
-      keyed.as("a").join(keyed.as("b"),
-          col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      concat_ws(":", keyCols.map(_.cast("string")): _*)
     }
-    bands.reduce(_ unionByName _).distinct()
+    val keyed = signatures.select(col("doc"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
   }
 
   /** Token-set Jaccard for candidate pairs (the LSH verify step).
@@ -115,7 +124,11 @@ object Dedup {
     val survivors = docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
+    // tids feeds three consumers (signatures, both jaccardVerify sides) —
+    // persist it so the tokenize+vocab pass over the corpus runs once, not
+    // three times (Spark auto-evicts under pressure; serialized to bound it)
     val tids = docTokenIds(survivors, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     jaccardVerify(minhashCandidates(minhashSignatures(tids, k), k, rowsPerBand),
       tids, threshold)
   }
@@ -146,6 +159,7 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
     val tids = docTokenIdsHashed(survivors, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     jaccardVerify(minhashCandidates(minhashSignatures(tids, k), k, rowsPerBand),
       tids, threshold)
   }

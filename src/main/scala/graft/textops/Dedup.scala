@@ -209,9 +209,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // five consumers (df pass, both candidate sides, both verify sides) —
+    // persist so the shingle explode over the corpus runs once
     val sh = docs.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), n)).as("tok"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val rare =
       if (maxShingleDf == Int.MaxValue) sh // exact: skip the df pass entirely
       else sh.join(

@@ -47,4 +47,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(out.schema.fieldNames.toSeq == Seq("rev_host", "disallow_prefixes"))
     assert(out.schema("disallow_prefixes").dataType.simpleString == "array<string>")
   }
+
+  test("end-to-end: parsed robots.txt gates the frontier — disallowed paths never scheduled") {
+    import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
+    import graft.functions.gf
+    import graft.sources.SynthDocs
+    val nHosts = 30
+    val docs = SynthDocs.docs(spark, 200L, nHosts, seed = 42).toDF()
+    val priorities = Frontier.hostPriorities(docs).localCheckpoint()
+    val budgets = SynthDocs.politeness(spark, nHosts)
+      .select(gf.reverse_host(col("host")).as("rev_host"), col("tokens_per_round"))
+    // every host serves the same body: pages under /page/1 are off-limits
+    // for us (exact-agent group), /img/ only for everyone else
+    val bodies = priorities.select(col("rev_host"),
+      lit("User-agent: graftbot\nDisallow: /page/1\nUser-agent: *\nDisallow: /img/")
+        .as("body"))
+    val robots = Robots.parse(bodies, agent = "graftbot").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_robots_e2e").toString
+    val c = Frontier.Config(dir, defaultTokens = 2, saltBuckets = 4,
+      seenCfg = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 14, numHashes = 5))
+    Frontier.init(spark, c, SynthDocs.seeds(spark, 8, nHosts), priorities, robots)
+    Frontier.run(spark, c, new CorpusFetcher(docs), 2, budgets, robots, priorities)
+    val urls = Frontier.fetchLog(spark, c).collect().map(_.getAs[String]("url"))
+    assert(urls.nonEmpty)
+    assert(!urls.exists(u => u.contains("/page/1")))
+    // the wildcard group's /img/ rule must NOT apply to graftbot
+    assert(robots.collect().forall(
+      _.getSeq[String](1) == Seq("/page/1")))
+  }
 }

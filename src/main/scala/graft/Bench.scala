@@ -32,9 +32,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
 
-    // frontier scaling numbers: measured by graft.ScalingBench (8M-doc
-    // corpus, local-cluster[1,8,m] vs local-cluster[4,8,m] separate executor
-    // JVMs — BENCH/BASELINE.md protocol) and committed to BENCH/BASELINE.md;
+    // frontier scaling numbers: measured by graft.ScalingBench (committed
+    // protocol: 96M-doc corpus, local-cluster[1,4,m] vs local-cluster[4,4,m]
+    // separate executor JVMs, ≥5 sample pairs, MEDIAN efficiency headline)
+    // and committed to BENCH/BASELINE.md;
     // re-measure live with SPARK_GRAFT_BENCH_SCALING=live (~15 min;
     // requires SPARK_HOME + SPARK_SCALA_VERSION in env). Provenance is
     // recorded in the "source" field.

@@ -58,7 +58,13 @@ object DedupBench {
   private def time(df: DataFrame): Timed = {
     val t0 = System.nanoTime()
     val n = df.count()
-    Timed((System.nanoTime() - t0) / 1e9, n)
+    val t = Timed((System.nanoTime() - t0) / 1e9, n)
+    // the dedup pipelines persist() intermediates (tids/shingle tables) the
+    // lazily-returned DataFrame can't release — drop them between timed
+    // stages so back-to-back runs don't accumulate dead cached RDDs that
+    // distort later stages' walls (ADVICE r3)
+    df.sparkSession.sqlContext.clearCache()
+    t
   }
 
   def main(args: Array[String]): Unit = {

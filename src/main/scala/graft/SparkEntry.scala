@@ -249,27 +249,51 @@ object SparkEntry {
     }),
     // North-star robots.txt cache: REAL robots.txt parsing (declarative
     // plan, no UDFs) over synthetic bodies covering case-insensitive keys,
-    // comments, empty Disallow, multi-agent groups, duplicate prefixes, and
-    // agent-specificity (exact name beats *); expected rules are analytic
+    // comments, empty Disallow/Allow, multi-agent groups, duplicate
+    // prefixes, agent-specificity (exact name beats *), RFC 9309 Allow
+    // rules and Crawl-delay (smallest value of the winning group wins);
+    // expected rules are analytic
     "q_robots_parse" -> ((s, dir) => {
       import graft.frontier.Robots
       val i = col("doc_id")
       val body =
         when(i % 4 === 0, concat(
           lit("User-agent: *\nDisallow: /a"), i,
-          lit("\nDisallow:\n# note\nUser-agent: graftbot\nDisallow: /g"), i))
+          lit("\nDisallow:\n# note\nUser-agent: graftbot\nDisallow: /g"), i,
+          lit("\nAllow: /g"), i, lit("/ok\nCrawl-delay: 4")))
         .when(i % 4 === 1, concat(
           lit("user-agent: GraftBot\nuser-agent: otherbot\nDisallow: /w"), i,
-          lit("\nDisallow: /w"), i))
-        .when(i % 4 === 2, lit("User-agent: otherbot\nDisallow: /x"))
+          lit("\nDisallow: /w"), i, lit("\nallow:\ncrawl-delay: 2.5")))
+        .when(i % 4 === 2, lit("User-agent: otherbot\nDisallow: /x\nCrawl-delay: 9"))
         .otherwise(lit("# comments only\nDisallow: /orphan"))
-      Robots.parse(
+      Robots.parseFull(
         s.read.parquet(t(dir, "documents")).filter(i < 50)
           .select(concat(lit("com.site"), i).as("rev_host"), body.as("body")),
         agent = "graftbot")
         .select(col("rev_host"),
-          array_join(col("disallow_prefixes"), "|").as("disallow"))
+          array_join(col("disallow_prefixes"), "|").as("disallow"),
+          array_join(col("allow_prefixes"), "|").as("allow"),
+          col("crawl_delay"))
         .orderBy("rev_host")
+    }),
+    // robots.txt `Sitemap:` directives → host-graph link tuples (the
+    // reference's default-on link class, `hostgraph_config.sh:19-21`,
+    // `build_hostgraph.sh:151-152`): host-wide records (group-independent),
+    // multiple sitemaps per host, cross-host targets, reverse_host/url_host
+    // canonicalization of the target
+    "q_sitemap_links" -> ((s, dir) => {
+      import graft.frontier.Robots
+      val i = col("doc_id")
+      val body = concat(
+        lit("User-agent: *\nDisallow: /x\nSitemap: https://maps"), i % 5,
+        lit(".example.org/sm/"), i, lit(".xml"),
+        when(i % 3 === 0, concat(lit("\nUser-agent: otherbot\nSitemap: https://cdn.site"),
+          i, lit(".net/a.xml"))).otherwise(lit("")))
+      Robots.sitemapHostLinks(Robots.parseFull(
+        s.read.parquet(t(dir, "documents")).filter(i < 40)
+          .select(concat(lit("com.site"), i).as("rev_host"), body.as("body")),
+        agent = "graftbot"))
+        .orderBy("from_host", "to_host")
     }),
     // A1/A2/A4: the reference's TSV graph interchange, round-tripped through
     // the REAL sorted-gzip sink and schema-on-read scan — any quoting,
@@ -557,9 +581,20 @@ object SparkEntry {
     "q_robots_parse" ->
       """SELECT 'com.site' || doc_id AS rev_host,
         |  CASE WHEN doc_id % 4 = 0 THEN '/g' || doc_id
-        |       ELSE '/w' || doc_id END AS disallow
+        |       ELSE '/w' || doc_id END AS disallow,
+        |  CASE WHEN doc_id % 4 = 0 THEN '/g' || doc_id || '/ok'
+        |       ELSE '' END AS "allow",
+        |  CASE WHEN doc_id % 4 = 0 THEN 4.0 ELSE 2.5 END AS crawl_delay
         |FROM documents WHERE doc_id < 50 AND doc_id % 4 IN (0, 1)
         |ORDER BY rev_host""".stripMargin,
+    "q_sitemap_links" ->
+      """SELECT 'com.site' || doc_id AS from_host,
+        |       'org.example.maps' || (doc_id % 5) AS to_host
+        |FROM documents WHERE doc_id < 40
+        |UNION
+        |SELECT 'com.site' || doc_id, 'net.site' || doc_id || '.cdn'
+        |FROM documents WHERE doc_id < 40 AND doc_id % 3 = 0
+        |ORDER BY from_host, to_host""".stripMargin,
     "q_tsv_roundtrip" ->
       """SELECT doc_id AS from_id, (doc_id * 7 + 3) % 500 AS to_id,
         |  'com.' || source || '.' || doc_id AS rev_name,

@@ -28,6 +28,19 @@ object TextQueries {
       Dedup.minhashDedup(docs(s, dir), "doc_id", "text", threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     }),
+    // the vocab-free hashed-token scale path (VERDICT r3 item 5): banding
+    // runs on xxhash64-derived 61-bit token ids DuckDB can't replicate, so
+    // the oracle is an independent BRUTE-FORCE exact-Jaccard join over the
+    // same survivor texts — the hashed pipeline must report exactly the
+    // pairs ≥ threshold with exactly the exact-Jaccard values (8 bands × 1
+    // row makes a banding false-negative at j ≥ 0.9 a ≤1e-8 event, and the
+    // exact verify stage removes every banding false positive; a hashed-tid
+    // collision would break value equality — the oracle checks that too)
+    "q_minhash_hashed" -> ((s, dir) => {
+      Dedup.minhashDedupHashed(docs(s, dir), "doc_id", "text", threshold = 0.9,
+        k = 8, rowsPerBand = 1)
+        .orderBy("doc_a", "doc_b")
+    }),
     // SimHash signatures
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(Dedup.docTokenIds(docs(s, dir), "doc_id", "text"))
@@ -248,6 +261,19 @@ object TextQueries {
          |FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
          |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9
          |ORDER BY 1, 2""".stripMargin,
+    "q_minhash_hashed" ->
+      """WITH surv AS (SELECT min(doc_id) AS doc, text
+        |  FROM documents WHERE doc_id < 500 GROUP BY text),
+        |stoks AS (SELECT doc, unnest(string_split(lower(text), ' ')) AS tok FROM surv),
+        |sdt AS (SELECT DISTINCT doc, tok FROM stoks WHERE tok <> ''),
+        |sz AS (SELECT doc, count(*) AS sz FROM sdt GROUP BY doc),
+        |inter AS (SELECT x.doc AS doc_a, y.doc AS doc_b, count(*) AS inter
+        |  FROM sdt x JOIN sdt y ON y.tok = x.tok AND x.doc < y.doc GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
+        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id AS doc, string_split(lower(text), ' ') AS l

@@ -86,4 +86,63 @@ class GraphSession(val vertices: DataFrame, val edges: DataFrame) {
 
   /** Degree-annotated vertices (`Stats --save-degrees`). */
   def degrees(): DataFrame = Ranking.withDegrees(vertices, edges)
+
+  // ---- interactive file import/export (`GraphExplorer.java:189-313`) ----
+  // local driver-side files by design: these are the reference shell's
+  // working-set helpers (load a vertex list, save a query result), not data
+  // paths — cluster-scale exports go through the table sinks
+
+  /** Load a vertex-name set from a local text file (one reversed label per
+    * line); labels not in the graph are dropped, file order is kept
+    * (`GraphExplorer.java:189-206`). One `isin`-filtered scan resolves all
+    * labels — not a per-line point query.
+    */
+  def loadVerticesFromFile(fileName: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val labels = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(fileName),
+        java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+    if (labels.isEmpty) return Seq.empty
+    val found = vC.filter(col("rev_name").isin(labels: _*))
+      .select("rev_name", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    labels.flatMap(found.get)
+  }
+
+  /** Save vertex ids as their labels, one per line, in the given order;
+    * ids not in the graph are dropped (`GraphExplorer.java:208-243`).
+    */
+  def saveVerticesToFile(ids: Seq[Long], fileName: String): Unit = {
+    if (ids.isEmpty) { saveToFile(Seq.empty, fileName); return }
+    val labels = vC.filter(col("id").isin(ids: _*))
+      .select("id", "rev_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    saveToFile(ids.flatMap(labels.get), fileName)
+  }
+
+  /** Save strings one per line (`GraphExplorer.java:245-251`). */
+  def saveToFile(strings: Seq[String], fileName: String): Unit = {
+    val out = new java.io.PrintStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(fileName)),
+      false, java.nio.charset.StandardCharsets.UTF_8)
+    try strings.foreach(out.println) finally out.close()
+  }
+
+  /** Save a [[frequencies]] report as `<count>\t<value>` lines, in the
+    * report's (count desc, value asc) order (`GraphExplorer.java:253-265`).
+    */
+  def saveCountsToFile(counts: DataFrame, fileName: String): Unit =
+    saveToFile(counts.collect().map(r => s"${r.get(1)}\t${r.get(0)}").toSeq,
+      fileName)
+
+  /** `%d: %s` vertex listing lines (`GraphExplorer.java:271-295`). */
+  def formatVertices(ids: Seq[Long]): Seq[String] = {
+    if (ids.isEmpty) return Seq.empty
+    val labels = vC.filter(col("id").isin(ids: _*))
+      .select("id", "rev_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.zipWithIndex.map { case (id, i) =>
+      s"$i: ${labels.getOrElse(id, id.toString)}" }
+  }
 }

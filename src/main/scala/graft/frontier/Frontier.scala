@@ -60,6 +60,27 @@ class TableFetcher(pairs: DataFrame) extends Fetcher {
     pairs.join(selected.select("key").distinct(), Seq("key"), "left_semi")
 }
 
+/** Fetcher over a pre-grouped ADJACENCY-layout link table
+  * `(key, outlinks array<string>)` — the 100 TB shape refined (VERDICT r3
+  * item 1a, extract-phase scan volume): the source key is stored and
+  * decoded once per SOURCE instead of once per link (~fan-out× fewer bytes
+  * through the per-round corpus scan and fan-out× fewer semi-join probes),
+  * and the explode runs only on rows matching the budget-bounded fetch
+  * batch. This is the same layout as the reference's BVGraph successor
+  * lists (`Graph.java:160-166`) and our A8 adjacency table.
+  */
+class AdjacencyFetcher(adj: DataFrame) extends Fetcher {
+  override def fetch(selected: DataFrame): DataFrame =
+    adj.join(selected.select("key").distinct(), Seq("key"), "left_semi")
+      .select(col("key"), explode(col("outlinks")).as("outlink"))
+}
+
+object AdjacencyFetcher {
+  /** Group a flat (key, outlink) pairs table into adjacency layout. */
+  def groupPairs(pairs: DataFrame): DataFrame =
+    pairs.groupBy("key").agg(collect_list(col("outlink")).as("outlinks"))
+}
+
 /** The crawl frontier + fetch scheduler (north_rule core).
   *
   * Per round, entirely as declarative plans:
@@ -243,6 +264,12 @@ object Frontier {
 
   /** Canonicalize raw URLs into frontier rows:
     * (key = surt, url = min original per key, rev_host, priority).
+    * `min(rev_host)` (not `first`) keeps the result partition-order-
+    * independent BY CONSTRUCTION: today every url of a key shares one host
+    * (the SURT key embeds the full host labels), so min == the unique value,
+    * and if a future surt change ever folded hosts, min stays deterministic
+    * where first would silently become partition-order-dependent (VERDICT r3
+    * "what's wrong" item 3).
     */
   private def canonicalize(urls: DataFrame, priorities: DataFrame): DataFrame = {
     urls
@@ -250,7 +277,7 @@ object Frontier {
               gf.reverse_host(gf.url_host(col("url"))).as("rev_host"))
       .filter(col("key").isNotNull && col("rev_host").isNotNull)
       .groupBy("key")
-      .agg(min("url").as("url"), first("rev_host").as("rev_host"))
+      .agg(min("url").as("url"), min("rev_host").as("rev_host"))
       .join(priorities, Seq("rev_host"), "left_outer")
       .select(col("key"), col("url"), col("rev_host"),
               coalesce(col("priority"), lit(0.0)).as("priority"))
@@ -258,27 +285,76 @@ object Frontier {
 
   /** Robots filter AT ENQUEUE (disallowed URLs never enter the frontier, so
     * the pending set can't silt up with unfetchable rows).
-    * robots: (rev_host, disallow_prefixes array<string>) — path prefixes.
+    *
+    * RFC 9309 §2.2.2 precedence: the LONGEST matching prefix decides, and
+    * `Allow` wins length ties — so `Disallow: /` + `Allow: /public/` blocks
+    * everything except `/public/…`. A robots table carrying only
+    * `disallow_prefixes` (the pre-round-4 contract, and any host row with no
+    * Allow rules) degrades to any-match blocking, which is the same rule
+    * with an empty allow set.
+    *
+    * robots: (rev_host, disallow_prefixes array<string>
+    *          [, allow_prefixes array<string>]) — literal path prefixes.
     */
   private def robotsFilter(rows: DataFrame, robots: DataFrame): DataFrame = {
+    val rules =
+      if (robots.columns.contains("allow_prefixes"))
+        robots.select(col("rev_host"), col("disallow_prefixes"), col("allow_prefixes"))
+      else
+        robots.select(col("rev_host"), col("disallow_prefixes"),
+          lit(null).cast("array<string>").as("allow_prefixes"))
+    def longestMatch(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_max(transform(filter(arr, p => col("__path").startsWith(p)), p => length(p)))
     val withPath = rows.withColumn("__path",
       when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", lit("/"))
         .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
     withPath
-      .join(robots.select(col("rev_host"), col("disallow_prefixes")),
-            Seq("rev_host"), "left_outer")
-      .filter(col("disallow_prefixes").isNull ||
-        !exists(col("disallow_prefixes"), p => col("__path").startsWith(p)))
-      .drop("__path", "disallow_prefixes")
+      .join(rules, Seq("rev_host"), "left_outer")
+      .withColumn("__dis", when(col("disallow_prefixes").isNotNull,
+        longestMatch(col("disallow_prefixes"))))
+      .withColumn("__alw", when(col("allow_prefixes").isNotNull,
+        longestMatch(col("allow_prefixes"))))
+      .filter(col("__dis").isNull ||
+        (col("__alw").isNotNull && col("__alw") >= col("__dis")))
+      .drop("__path", "__dis", "__alw", "disallow_prefixes", "allow_prefixes")
   }
+
+  /** Effective politeness budgets: the explicit operator budget table,
+    * falling back to `Crawl-delay`-derived tokens for hosts it doesn't name
+    * (VERDICT r3 item 4 — the robots parser is the natural budget producer,
+    * the explicit table overrides).
+    *
+    * @param explicit (rev_host, tokens_per_round) operator-set budgets
+    * @param robotsRules [[Robots.parseFull]] output (rev_host, crawl_delay, …)
+    */
+  def budgetsWithRobots(explicit: DataFrame, robotsRules: DataFrame,
+                        roundSeconds: Double = 60.0): DataFrame =
+    explicit.select(col("rev_host"), col("tokens_per_round"))
+      .join(Robots.crawlDelayBudgets(robotsRules, roundSeconds)
+              .withColumnRenamed("tokens_per_round", "__cd_tokens"),
+            Seq("rev_host"), "full_outer")
+      .select(col("rev_host"),
+        coalesce(col("tokens_per_round"), col("__cd_tokens"))
+          .cast("int").as("tokens_per_round"))
 
   /** Initialize frontier state from a seed list. Idempotent (skips if the
     * init marker exists).
+    *
+    * @param sitemaps optional (url) table of robots.txt `Sitemap:` URLs
+    *                 ([[Robots.sitemapUrls]]) unioned into the seed
+    *                 candidates — the reference ingests this link class by
+    *                 default (`hostgraph_config.sh:19-21`); like any seed,
+    *                 each still passes canonicalize + robots + dedup.
     */
   def init(spark: SparkSession, c: Config, seeds: DataFrame,
-           priorities: DataFrame, robots: DataFrame): Unit = {
+           priorities: DataFrame, robots: DataFrame,
+           sitemaps: Option[DataFrame] = None): Unit = {
     if (readMarker(spark, c, -1).isDefined) return
-    val rows = robotsFilter(canonicalize(seeds.select(col("url")), priorities), robots)
+    val seedUrls = sitemaps match {
+      case Some(sm) => seeds.select(col("url")).unionByName(sm.select(col("url")))
+      case None => seeds.select(col("url"))
+    }
+    val rows = robotsFilter(canonicalize(seedUrls, priorities), robots)
     val pend = rows.select("key", "url", "rev_host", "priority")
     val nSeeds = pend.count()
     UrlSeen.create(spark, seenDir(c), c.seenCfg)
@@ -382,7 +458,14 @@ object Frontier {
     // budget-bounded batch → broadcast it into the fetch semi-join and the
     // pending anti-join: the corpus-sized side is scanned map-only
     val sel = if (nSelected <= c.broadcastFetchMax) broadcast(selected) else selected
-    val outlinks = fetcher.fetch(sel).select(col("outlink").as("url"))
+    // pre-aggregate outlinks BEFORE canonicalize (VERDICT r3 item 1a): a
+    // popular target is emitted once per selected source linking to it, so
+    // deduplicating on the raw url first — with map-side partial distinct
+    // shrinking the exchange — means the surt/reverse_host kernels and the
+    // canonicalize shuffle see each candidate once, not once per in-link.
+    // Identical result: canonicalize aggregates by key with min(), which is
+    // duplicate-insensitive.
+    val outlinks = fetcher.fetch(sel).select(col("outlink").as("url")).distinct()
     // MATERIALIZED once (persist + count): a deliberate optimization barrier.
     // Without it, Catalyst pushes the seen-filter predicates of unseen()'s
     // two union branches (bloom might-contain UDF + surt/reverse_host null

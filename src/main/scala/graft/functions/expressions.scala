@@ -105,13 +105,31 @@ object VecOps {
 /** `vec_dot(a, b)` — codegen'd dot product of two numeric array columns.
   * The ANN/dedup hot loops score tens of millions of candidate pairs per
   * round; Spark's `zip_with`/`aggregate` higher-order functions evaluate an
-  * interpreted lambda per ELEMENT (measured 3 orders slower than this tight
-  * loop at 58M pairs × 64 dims), so the pair-scoring kernel is the one
-  * place a custom expression is genuinely required.
+  * interpreted lambda per ELEMENT — swapping them for this tight loop took
+  * the 58M-pair × 64-dim multi-probe scoring workload from 327 s to 31 s
+  * end-to-end (10.5×; the kernel itself is the entire diff) — so the
+  * pair-scoring kernel is the one place a custom expression is genuinely
+  * required.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  // mirror VecOps.dot's contract at ANALYSIS time: both children must be
+  // array<float>|array<double> — without this a non-array child dies with a
+  // bare ClassCastException at planning and an array<int>/array<long> child
+  // would silently misread storage via ArrayData.getDouble (ADVICE r3)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires two array<float>/array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(a: Any, b: Any): Any =

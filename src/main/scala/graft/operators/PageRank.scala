@@ -52,21 +52,7 @@ object PageRank {
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIter && delta > tol) {
-      // mass flowing along arcs
-      val contrib = edgesDeg
-        .join(ranks, edgesDeg("from_id") === ranks("id"))
-        .groupBy(col("to_id").as("id"))
-        .agg(sum(col("pr_val") / col("outdeg")).as("in_mass"))
-      // dangling mass (nodes with no out-arcs) redistributed by preference
-      val danglingMass = ranks
-        .join(outDeg, ranks("id") === outDeg("from_id"), "left_anti")
-        .agg(coalesce(sum("pr_val"), lit(0.0))).first().getDouble(0)
-      val newRanks = pref
-        .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
-          ((lit(1.0 - alpha) + lit(alpha * danglingMass)) * col("pref") +
-            lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
-        .localCheckpoint()
+      val newRanks = step(ranks, edgesDeg, pref, alpha).localCheckpoint()
       delta = newRanks.join(ranks.withColumnRenamed("pr_val", "old"), "id")
         .agg(sum(abs(col("pr_val") - col("old")))).first().getDouble(0)
       ranks = newRanks
@@ -75,6 +61,35 @@ object PageRank {
     edgesDeg.unpersist()
     pref.unpersist()
     ranks
+  }
+
+  /** One fused power-iteration step: arc contributions AND dangling mass in
+    * a single aggregation pass (VERDICT r3 item 6 — no per-iteration
+    * driver-side `.first()` action). A rank row with no out-arcs routes its
+    * whole mass to a `cid = -1` sentinel group (vertex ids are dense ≥ 0,
+    * so the sentinel can't collide); the sentinel row is broadcast back as
+    * the scalar dangling mass. Catalyst reuses the aggregation's exchange
+    * between the sentinel branch and the contribution branch, and the
+    * arithmetic (`α·dangling` then `+`) is the same IEEE double sequence as
+    * the old driver-side scalar, so every oracle hash is unchanged.
+    */
+  private def step(ranks: DataFrame, edgesDeg: DataFrame, pref: DataFrame,
+                   alpha: Double): DataFrame = {
+    val contribAll = ranks
+      .join(edgesDeg, ranks("id") === edgesDeg("from_id"), "left_outer")
+      .select(coalesce(col("to_id"), lit(-1L)).as("cid"),
+        when(col("to_id").isNotNull, col("pr_val") / col("outdeg"))
+          .otherwise(col("pr_val")).as("mass"))
+      .groupBy("cid").agg(sum("mass").as("in_mass"))
+    val dangling = contribAll.filter(col("cid") === -1L)
+      .agg(coalesce(sum("in_mass"), lit(0.0)).as("dmass"))
+    pref
+      .join(contribAll.filter(col("cid") =!= -1L).withColumnRenamed("cid", "id"),
+        Seq("id"), "left_outer")
+      .crossJoin(broadcast(dangling))
+      .select(col("id"),
+        ((lit(1.0 - alpha) + lit(alpha) * col("dmass")) * col("pref") +
+          lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
   }
 
   /** Fixed-iteration variant with no convergence check — one job per
@@ -101,20 +116,20 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = pref.select(col("id"), col("pref").as("pr_val")).localCheckpoint()
     (1 to iterations).foreach { _ =>
-      val contrib = edgesDeg
-        .join(ranks, edgesDeg("from_id") === ranks("id"))
-        .groupBy(col("to_id").as("id"))
-        .agg(sum(col("pr_val") / col("outdeg")).as("in_mass"))
-      val danglingMass =
-        if (!redistributeDangling) 0.0
-        else ranks.join(outDeg, ranks("id") === outDeg("from_id"), "left_anti")
-          .agg(coalesce(sum("pr_val"), lit(0.0))).first().getDouble(0)
-      ranks = pref
-        .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
-          ((lit(1.0 - alpha) + lit(alpha * danglingMass)) * col("pref") +
-            lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
-        .localCheckpoint()
+      ranks = (if (redistributeDangling) step(ranks, edgesDeg, pref, alpha)
+               else {
+                 // dangling mass statically zero — keep the two-join shape
+                 // with no sentinel/broadcast work at all
+                 val contrib = edgesDeg
+                   .join(ranks, edgesDeg("from_id") === ranks("id"))
+                   .groupBy(col("to_id").as("id"))
+                   .agg(sum(col("pr_val") / col("outdeg")).as("in_mass"))
+                 pref
+                   .join(contrib, Seq("id"), "left_outer")
+                   .select(col("id"),
+                     (lit(1.0 - alpha) * col("pref") +
+                       lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
+               }).localCheckpoint()
     }
     edgesDeg.unpersist()
     pref.unpersist()

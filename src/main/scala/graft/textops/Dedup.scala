@@ -133,24 +133,68 @@ object Dedup {
       tids, threshold)
   }
 
-  /** (doc, tid) pairs with tid = xxhash64(token) — the 100 TB scale variant
-    * of [[docTokenIds]]: skips the global vocabulary sort + join entirely
-    * (at 10^10 docs the vocab is ~10^9 rows and its join is the dominant
-    * shuffle — measured: the vocab path caps minhashDedup at ~8.5k docs/s
-    * on 1M docs while hashing removes that stage). Trade: token ids are an
-    * engine-specific hash, so the DuckDB oracles can't replicate the
-    * BANDING (candidate sets differ from the arithmetic-id path); the
-    * verify step is unaffected — Jaccard is computed on token SETS, and a
-    * 64-bit hash is injective on any real vocabulary, so every reported
-    * pair carries the same exact Jaccard either way (TextOpsSpec pins
-    * soundness + identical-set collision guarantees).
+  /** 61-bit Mersenne prime — the token-id universe AND signature modulus of
+    * the hashed scale path. 2^61-1 bins keep hashed-tid birthday collisions
+    * negligible where a 2^31-sized space would not: at a 10^9-token
+    * vocabulary the expected number of colliding token PAIRS is
+    * n²/(2m) ≈ (10^9)²/2^62 ≈ 0.22 — i.e. usually zero, worst case a
+    * handful out of 10^9 (vs ~2×10^8 pair-merges at m = 2^31, which would
+    * visibly inflate [[jaccardVerify]]'s intersections — ADVICE r3).
+    */
+  val MinhashP61: Long = (1L << 61) - 1
+
+  /** `(a·t + b) mod 2^61-1` WITHOUT 64-bit overflow, for `t < 2^61-1` and
+    * `a, b < 2^31`: split t into high/low halves and reduce the shifted
+    * partial products with `2^61 ≡ 1 (mod p)` — plain long column
+    * arithmetic (codegen'd; replicable in any engine with shifts).
+    */
+  private def modMul61(a: Long, t: Column, b: Long): Column = {
+    val p = lit(MinhashP61)
+    val th = shiftright(t, 31)                     // t >> 31        < 2^30
+    val tl = t.bitwiseAND(lit((1L << 31) - 1))     // low 31 bits    < 2^31
+    val u = (lit(a) * th) % p                      // a·th mod p (product < 2^61)
+    val uh = shiftright(u, 30)                     //                < 2^31
+    val ul = u.bitwiseAND(lit((1L << 30) - 1))
+    val v = (uh + shiftleft(ul, 31)) % p           // u·2^31 mod p (sum < 2^62)
+    (v + (lit(a) * tl) % p + lit(b)) % p           // + a·tl mod p + b  < 2^63
+  }
+
+  /** [[minhashSignatures]] over 61-bit token ids ([[docTokenIdsHashed]]):
+    * same universal-hash family `h_i(t) = (a_i·t + b_i) mod p` with
+    * `p = 2^61-1` and overflow-safe modular multiplication. (The vocab
+    * path's [[minhashSignatures]] stays on the 31-bit modulus its DuckDB
+    * oracles replicate; its dense tids can never overflow it.)
+    */
+  def minhashSignatures61(docTids: DataFrame, k: Int = 8): DataFrame = {
+    require(k <= MinhashA.size)
+    val aggs = (0 until k).map { i =>
+      min(modMul61(MinhashA(i), col("tid"), MinhashB(i))).as(s"h$i")
+    }
+    docTids.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc, tid) pairs with tid = xxhash64(token) mod 2^61-1 — the 100 TB
+    * scale variant of [[docTokenIds]]: skips the global vocabulary sort +
+    * join entirely (at 10^10 docs the vocab is ~10^9 rows and its join is
+    * the dominant shuffle — measured: the vocab path caps minhashDedup at
+    * ~8.5k docs/s on 1M docs while hashing removes that stage). Trades:
+    *  - token ids are an engine-specific hash, so DuckDB oracles can't
+    *    replicate the BANDING (q_minhash_hashed instead checks the reported
+    *    pair set against a brute-force exact-Jaccard oracle);
+    *  - tid collisions merge tokens, which would inflate [[jaccardVerify]]'s
+    *    intersections — NOT impossible, but with the 2^61-1 universe the
+    *    expected collision count stays below one even at 10^9-token
+    *    vocabularies (see [[MinhashP61]]), vs exactly-zero for the vocab
+    *    path. TextOpsSpec pins the identical-set guarantee (equal token
+    *    sets always hash identically, so no true duplicate is ever missed).
     */
   def docTokenIdsHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docTokens(docs, idCol, textCol)
-      .select(col("doc"), pmod(xxhash64(col("tok")), lit(MinhashP)).as("tid"))
+      .select(col("doc"), pmod(xxhash64(col("tok")), lit(MinhashP61)).as("tid"))
 
   /** [[minhashDedup]] on hashed token ids — same pipeline, no vocabulary
-    * stage; the opt-in scale path (see [[docTokenIdsHashed]] for the trade).
+    * stage; the opt-in scale path (see [[docTokenIdsHashed]] for the
+    * trades). Signatures use the overflow-safe 61-bit hash family.
     */
   def minhashDedupHashed(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, k: Int = 8,
@@ -160,7 +204,7 @@ object Dedup {
       .select(col(idCol), col(textCol))
     val tids = docTokenIdsHashed(survivors, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    jaccardVerify(minhashCandidates(minhashSignatures(tids, k), k, rowsPerBand),
+    jaccardVerify(minhashCandidates(minhashSignatures61(tids, k), k, rowsPerBand),
       tids, threshold)
   }
 

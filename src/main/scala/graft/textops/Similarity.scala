@@ -16,8 +16,9 @@ import graft.functions.gf
   * All dot products run through the codegen'd [[graft.functions.VecDot]]
   * expression (bit-identical to the `aggregate`/`zip_with` composition it
   * replaced, but a tight loop instead of an interpreted per-element
-  * lambda — measured 3 orders faster on the 58M-pair multi-probe scoring
-  * stage of DedupBench). Norms are computed ONCE PER VECTOR before the
+  * lambda — took DedupBench's 58M-pair × 64-dim multi-probe scoring
+  * workload from 327 s to 31 s end-to-end). Norms are computed ONCE PER
+  * VECTOR before the
   * candidate join, never per pair.
   *
   * Hyperplane/centroid sign vectors are data-independent constants: they

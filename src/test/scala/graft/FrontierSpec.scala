@@ -264,4 +264,62 @@ class FrontierSpec extends AnyFunSuite {
     assert(unseenOf(a, small, bc = true) == Set("com,zz)/9", "org,yy)/8"))
     assert(unseenOf(b, big, bc = false) == Set("com,zz)/9", "org,yy)/8"))
   }
+
+  test("sitemap URLs from robots.txt are scheduled (reference default-on link class)") {
+    import graft.frontier.Robots
+    // the sitemap-announced URL appears NOWHERE in seeds or corpus outlinks
+    val bodies = Seq(("com.sm",
+      "Sitemap: https://sm.com/from-sitemap/only\nUser-agent: *\nDisallow: /blocked"))
+      .toDF("rev_host", "body")
+    val rules = Robots.parseFull(bodies).localCheckpoint()
+    val seeds2 = Seq("https://sm.com/seed").toDF("url")
+    val prio2 = Seq(("com.sm", 1.0)).toDF("rev_host", "priority")
+    val emptyDocs = Seq.empty[(String, Seq[(String, String, String, Int)])]
+      .toDF("doc_id", "spans")
+      .select(col("doc_id"), expr(
+        "transform(spans, s -> named_struct('kind', s._1, 'text', s._2, 'media_ref', s._3, 'offset', s._4))").as("spans"))
+    val dir = Files.createTempDirectory("frontier_sitemap").toString
+    val c = cfg(dir)
+    Frontier.init(spark, c, seeds2, prio2, rules,
+      sitemaps = Some(Robots.sitemapUrls(rules)))
+    Frontier.run(spark, c, new CorpusFetcher(emptyDocs), 1,
+      Seq(("com.sm", 10)).toDF("rev_host", "tokens_per_round"), rules, prio2)
+    val urls = Frontier.fetchLog(spark, c).collect().map(_.getAs[String]("url")).toSet
+    assert(urls == Set("https://sm.com/seed", "https://sm.com/from-sitemap/only"))
+  }
+
+  test("Crawl-delay derives politeness budgets; explicit budget table overrides") {
+    import graft.frontier.Robots
+    // com.slow: Crawl-delay 30 → floor(60/30) = 2 tokens; com.fast: no delay
+    // → default; com.over: delay 60 (→1) but explicit budget says 5
+    val rules = Robots.parseFull(Seq(
+      ("com.slow", "User-agent: *\nCrawl-delay: 30"),
+      ("com.over", "User-agent: *\nCrawl-delay: 60"))
+      .toDF("rev_host", "body")).localCheckpoint()
+    val explicit = Seq(("com.over", 5)).toDF("rev_host", "tokens_per_round")
+    val merged = Frontier.budgetsWithRobots(explicit, rules, roundSeconds = 60.0)
+    val m = merged.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("com.slow" -> 2, "com.over" -> 5))
+    // end-to-end: 6 pending URLs per host, one round — the crawl-delayed
+    // host schedules exactly its derived 2 tokens, the unnamed host the
+    // config default (2), the overridden host its explicit 5
+    val seeds3 = (1 to 6).flatMap(i => Seq(
+      s"https://slow.com/p/$i", s"https://over.com/p/$i", s"https://free.com/p/$i"))
+      .toDF("url")
+    val prio3 = Seq(("com.slow", 1.0), ("com.over", 1.0), ("com.free", 1.0))
+      .toDF("rev_host", "priority")
+    val emptyDocs = Seq.empty[(String, Seq[(String, String, String, Int)])]
+      .toDF("doc_id", "spans")
+      .select(col("doc_id"), expr(
+        "transform(spans, s -> named_struct('kind', s._1, 'text', s._2, 'media_ref', s._3, 'offset', s._4))").as("spans"))
+    val dir = Files.createTempDirectory("frontier_delay").toString
+    val c = cfg(dir)
+    Frontier.init(spark, c, seeds3, prio3, rules)
+    Frontier.run(spark, c, new CorpusFetcher(emptyDocs), 1, merged, rules, prio3)
+    val perHost = Frontier.fetchLog(spark, c).collect()
+      .map(_.getAs[String]("url"))
+      .groupBy(u => "^https://([^/]+)/".r.findFirstMatchIn(u).get.group(1))
+      .map { case (h, us) => h -> us.length }
+    assert(perHost == Map("slow.com" -> 2, "over.com" -> 5, "free.com" -> 2))
+  }
 }

@@ -51,4 +51,24 @@ class MergeSccExploreSpec extends AnyFunSuite {
     assert(g.sharedSuccessors(Seq(0L, 1L), 2, 2) == Seq(2L))
     assert(g.prefix("com.").count() == 3)
   }
+
+  test("GraphSession file import/export round-trips vertex sets (GraphExplorer.java:189-313)") {
+    val v = Seq((0L, "com.a"), (1L, "com.b"), (2L, "com.c")).toDF("id", "rev_name")
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("from_id", "to_id")
+    val g = new GraphSession(v, e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_explore_io")
+    val f = s"$dir/set.txt"
+    // save keeps order, drops unknown ids
+    g.saveVerticesToFile(Seq(2L, 0L, 99L), f)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(f)) == "com.c\ncom.a\n")
+    // load keeps file order, drops unknown labels
+    g.saveToFile(Seq("com.b", "org.unknown", "com.a"), f)
+    assert(g.loadVerticesFromFile(f) == Seq(1L, 0L))
+    // counts export is `<count>\t<value>` in (count desc, value asc) order
+    val freq = g.frequencies(
+      Seq("x", "y", "x").toDF("s"), "s")
+    g.saveCountsToFile(freq, f)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(f)) == "2\tx\n1\ty\n")
+    assert(g.formatVertices(Seq(1L, 2L)) == Seq("0: com.b", "1: com.c"))
+  }
 }

@@ -48,6 +48,85 @@ class RobotsSpec extends AnyFunSuite {
     assert(out.schema("disallow_prefixes").dataType.simpleString == "array<string>")
   }
 
+  test("parseFull: Allow/Crawl-delay/Sitemap extracted; sitemaps are host-wide") {
+    val r = Robots.parseFull(Seq(("com.a",
+      "Sitemap: https://a.com/top.xml\n" +
+      "User-agent: otherbot\nDisallow: /other\nSitemap: https://a.com/other.xml\n" +
+      "User-agent: graftbot\nDisallow: /\nAllow: /public/\nCrawl-delay: 2.5\n" +
+      "Crawl-delay: 10\nSitemap: https://a.com/bot.xml"))
+      .toDF("rev_host", "body"), agent = "graftbot").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getSeq[String](row.fieldIndex("disallow_prefixes")) == Seq("/"))
+    assert(row.getSeq[String](row.fieldIndex("allow_prefixes")) == Seq("/public/"))
+    // smallest delay of the winning group wins
+    assert(row.getDouble(row.fieldIndex("crawl_delay")) == 2.5)
+    // sitemap records are NOT group-scoped: all three survive, sorted
+    assert(row.getSeq[String](row.fieldIndex("sitemaps")) ==
+      Seq("https://a.com/bot.xml", "https://a.com/other.xml", "https://a.com/top.xml"))
+  }
+
+  test("parseFull: sitemap-only host (no applicable group) still yields a row") {
+    val r = Robots.parseFull(Seq(
+      ("com.s", "Sitemap: https://s.com/map.xml\nUser-agent: otherbot\nDisallow: /x"),
+      ("com.t", "User-agent: otherbot\nDisallow: /x"))
+      .toDF("rev_host", "body"), agent = "graftbot").collect()
+    assert(r.length == 1 && r.head.getString(0) == "com.s")
+    val row = r.head
+    assert(row.getSeq[String](row.fieldIndex("disallow_prefixes")).isEmpty)
+    assert(row.isNullAt(row.fieldIndex("crawl_delay")))
+    assert(row.getSeq[String](row.fieldIndex("sitemaps")) == Seq("https://s.com/map.xml"))
+  }
+
+  test("crawlDelayBudgets: tokens = max(1, floor(roundSeconds/delay))") {
+    val rules = Robots.parseFull(Seq(
+      ("com.slow", "User-agent: *\nCrawl-delay: 120"),
+      ("com.med", "User-agent: *\nCrawl-delay: 7"),
+      ("com.fast", "User-agent: *\nCrawl-delay: 0.5"),
+      ("com.none", "User-agent: *\nDisallow: /x"))
+      .toDF("rev_host", "body"))
+    val b = Robots.crawlDelayBudgets(rules, roundSeconds = 60.0).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(b == Map("com.slow" -> 1, "com.med" -> 8, "com.fast" -> 120))
+  }
+
+  test("sitemapHostLinks: hostgraph edges from robots host to sitemap URL host") {
+    val rules = Robots.parseFull(Seq(
+      ("com.a", "Sitemap: https://cdn.maps.net/a.xml\nSitemap: https://a.com/self.xml"))
+      .toDF("rev_host", "body"))
+    val links = Robots.sitemapHostLinks(rules).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(links == Set(("com.a", "net.maps.cdn"), ("com.a", "com.a")))
+  }
+
+  test("RFC 9309 longest-match: Disallow:/ + Allow:/public/ blocks all but /public/") {
+    import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
+    // host com.x disallows everything except /public/…; /public/private/ is
+    // re-disallowed by a LONGER disallow rule (allow loses the length tie-break
+    // only when the disallow match is strictly longer)
+    val bodies = Seq(("com.x",
+      "User-agent: *\nDisallow: /\nAllow: /public/\nDisallow: /public/private/"))
+      .toDF("rev_host", "body")
+    val rules = Robots.parseFull(bodies).localCheckpoint()
+    val seeds = Seq(
+      "https://x.com/public/a", "https://x.com/public/b",
+      "https://x.com/public/private/c", "https://x.com/secret/d",
+      "https://x.com/").toDF("url")
+    val priorities = Seq(("com.x", 1.0)).toDF("rev_host", "priority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_match").toString
+    val c = Frontier.Config(dir, defaultTokens = 10, saltBuckets = 4,
+      seenCfg = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 14, numHashes = 5))
+    Frontier.init(spark, c, seeds, priorities, rules)
+    val docs = Seq(("https://x.com/public/a",
+      Seq(("text", "nothing here", null: String, 0)))).toDF("doc_id", "spans")
+      .select(col("doc_id"), expr(
+        "transform(spans, s -> named_struct('kind', s._1, 'text', s._2, 'media_ref', s._3, 'offset', s._4))").as("spans"))
+    Frontier.run(spark, c, new CorpusFetcher(docs), 1,
+      Seq(("com.x", 10)).toDF("rev_host", "tokens_per_round"), rules, priorities)
+    val urls = Frontier.fetchLog(spark, c).collect().map(_.getAs[String]("url")).toSet
+    assert(urls == Set("https://x.com/public/a", "https://x.com/public/b"))
+  }
+
   test("end-to-end: parsed robots.txt gates the frontier — disallowed paths never scheduled") {
     import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
     import graft.functions.gf

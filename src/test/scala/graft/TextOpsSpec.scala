@@ -81,12 +81,34 @@ class TextOpsSpec extends AnyFunSuite {
     // duplicate-guard holds on the hashed path too
     val dup = (0L until 40L).map(i => (i, "same text for every doc")) :+
       ((99L, "something else entirely"))
-    val cands = Dedup.minhashCandidates(Dedup.minhashSignatures(
+    val cands = Dedup.minhashCandidates(Dedup.minhashSignatures61(
       Dedup.docTokenIdsHashed(
         dup.toDF("doc_id", "text").groupBy($"text")
           .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
           .select($"doc_id", $"text"), "doc_id", "text")))
     assert(cands.count() <= 1)
+  }
+
+  test("61-bit signature arithmetic: overflow-safe (a*t+b) mod 2^61-1 == BigInt oracle") {
+    val p = BigInt(Dedup.MinhashP61)
+    // tids spanning the whole 61-bit universe, incl. values whose a*t
+    // product overflows a signed 64-bit long by ~2^30
+    val tids = Seq(0L, 1L, 12345L, (1L << 31) - 1, 1L << 31, (1L << 45) + 17L,
+      Dedup.MinhashP61 - 1, Dedup.MinhashP61 - 2, 987654321987654321L)
+    val df = tids.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc", "tid")
+    val got = Dedup.minhashSignatures61(df, k = 8).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(j => r.getLong(j + 1))).toMap
+    tids.zipWithIndex.foreach { case (t, i) =>
+      (0 until 8).foreach { j =>
+        val expect = ((BigInt(Dedup.MinhashA(j)) * t + Dedup.MinhashB(j)) mod p).toLong
+        assert(got(i.toLong)(j) == expect,
+          s"h$j(tid=$t): got ${got(i.toLong)(j)}, want $expect")
+      }
+    }
+    // and hashed tids really live in the 61-bit universe (not the 31-bit one)
+    val maxTid = Dedup.docTokenIdsHashed(fixture, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.max($"tid")).first().getLong(0)
+    assert(maxTid > (1L << 31) && maxTid < Dedup.MinhashP61)
   }
 
   test("simhash: equal token sets → equal signature; disjoint sets differ") {

@@ -106,6 +106,15 @@ object ScalingBench {
         // local-cluster's third arg is only the WORKER's capacity; the
         // executor JVM heap itself is spark.executor.memory (default 1g)
         "spark.executor.memory" -> s"${memMb}m",
+        // RESOURCE ISOLATION: every executor JVM must behave like a node
+        // with `coresPerExec` cores. Without this each JVM sizes its G1
+        // GC/JIT helper pools from the HOST's 32 CPUs — so the 1-executor
+        // run silently borrows ~2 dozen idle cores for GC/JIT (a free
+        // speedup no real 1-node cluster gets) while the 4-executor run's
+        // helper threads contend, deflating the measured N-vs-4N ratio
+        // below the engine's true scaling.
+        "spark.executor.extraJavaOptions" ->
+          s"-XX:ActiveProcessorCount=$coresPerExec",
         // split the corpus scan finer than the 128m default: ~4 task waves
         // per stage instead of ~1 so one slow split can't stretch the stage
         // (AQE re-coalesces the shuffle side; this only affects file scans)

@@ -181,8 +181,13 @@ object UrlSeen {
       import spark.implicits._
       val mergedDf = merged.toSeq.map { case (b, bits) => (b, bits) }
         .toDF("bucket", "bits")
-      TableIO.write(mergedDf, s"$dir-bloom", lineage = "urlseen:bloom")
+      // sidecar write and key-table append are independent outputs — overlap
+      // them too (the round marker remains the only commit point)
+      val fBloom = Future {
+        TableIO.write(mergedDf, s"$dir-bloom", lineage = "urlseen:bloom")
+      }
       val snap = Await.result(fAppend, Duration.Inf)
+      Await.result(fBloom, Duration.Inf)
       bucketed.unpersist(blocking = false)
       (snap, Some(merged.toMap))
     } else {

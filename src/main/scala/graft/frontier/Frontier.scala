@@ -286,25 +286,46 @@ object Frontier {
   /** Robots filter AT ENQUEUE (disallowed URLs never enter the frontier, so
     * the pending set can't silt up with unfetchable rows).
     *
-    * RFC 9309 §2.2.2 precedence: the LONGEST matching prefix decides, and
-    * `Allow` wins length ties — so `Disallow: /` + `Allow: /public/` blocks
-    * everything except `/public/…`. A robots table carrying only
-    * `disallow_prefixes` (the pre-round-4 contract, and any host row with no
-    * Allow rules) degrades to any-match blocking, which is the same rule
-    * with an empty allow set.
+    * RFC 9309 §2.2.2 precedence: the LONGEST (most-octets) matching rule
+    * decides, and `Allow` wins length ties — so `Disallow: /` +
+    * `Allow: /public/` blocks everything except `/public/…`. §2.2.3 special
+    * characters are supported: `*` matches any octet sequence and a
+    * trailing `$` anchors the end of the path; rules without them take a
+    * literal-prefix fast path (no per-row regex). A robots table carrying
+    * only `disallow_prefixes` (the pre-round-4 contract, and any host row
+    * with no Allow rules) degrades to any-match blocking, which is the
+    * same rule with an empty allow set.
     *
     * robots: (rev_host, disallow_prefixes array<string>
-    *          [, allow_prefixes array<string>]) — literal path prefixes.
+    *          [, allow_prefixes array<string>]) — path patterns.
     */
   private def robotsFilter(rows: DataFrame, robots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
     val rules =
       if (robots.columns.contains("allow_prefixes"))
         robots.select(col("rev_host"), col("disallow_prefixes"), col("allow_prefixes"))
       else
         robots.select(col("rev_host"), col("disallow_prefixes"),
           lit(null).cast("array<string>").as("allow_prefixes"))
-    def longestMatch(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array_max(transform(filter(arr, p => col("__path").startsWith(p)), p => length(p)))
+    // a rule pattern → an anchored Java regex: escape regex metacharacters,
+    // then `*` → `.*`; a trailing `$` (stripped before escaping) re-anchors
+    def patternRegex(p: Column): Column = {
+      val anchored = p.endsWith("$")
+      val body = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
+      val esc = regexp_replace(body,
+        "[\\\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|]", "\\\\$0")
+      concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+        when(anchored, lit("$")).otherwise(lit("")))
+    }
+    // octet length of the matching rule (RFC 9309 §2.2.2 specificity), null
+    // when the rule doesn't match this path
+    def matchLen(p: Column): Column = {
+      val special = p.contains("*") || p.endsWith("$")
+      when(special, when(regexp_like(col("__path"), patternRegex(p)), length(p)))
+        .otherwise(when(col("__path").startsWith(p), length(p)))
+    }
+    def longestMatch(arr: Column): Column =
+      array_max(transform(arr, p => matchLen(p)))
     val withPath = rows.withColumn("__path",
       when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", lit("/"))
         .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))

@@ -127,6 +127,36 @@ class RobotsSpec extends AnyFunSuite {
     assert(urls == Set("https://x.com/public/a", "https://x.com/public/b"))
   }
 
+  test("RFC 9309 §2.2.3 special characters: * wildcard and $ end-anchor in rules") {
+    import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
+    // *.pdf$ blocks exactly paths ENDING in .pdf; /files/* blocks the files
+    // subtree but Allow /files/pub* re-opens the pub prefix (longer pattern)
+    val rules = Robots.parseFull(Seq(("com.w",
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /files/*\nAllow: /files/pub*"))
+      .toDF("rev_host", "body")).localCheckpoint()
+    val seeds = Seq(
+      "https://w.com/doc.pdf",        // blocked: *.pdf$ matches end
+      "https://w.com/doc.pdfx",       // allowed: $ anchor fails
+      "https://w.com/a/b/c.pdf",      // blocked: * spans directories
+      "https://w.com/files/secret",   // blocked: /files/*
+      "https://w.com/files/pub/x",    // allowed: Allow /files/pub* is longer
+      "https://w.com/ok.html").toDF("url")
+    val prio = Seq(("com.w", 1.0)).toDF("rev_host", "priority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_wild").toString
+    val c = Frontier.Config(dir, defaultTokens = 10, saltBuckets = 4,
+      seenCfg = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 14, numHashes = 5))
+    Frontier.init(spark, c, seeds, prio, rules)
+    val emptyDocs = Seq.empty[(String, Seq[(String, String, String, Int)])]
+      .toDF("doc_id", "spans")
+      .select(col("doc_id"), expr(
+        "transform(spans, s -> named_struct('kind', s._1, 'text', s._2, 'media_ref', s._3, 'offset', s._4))").as("spans"))
+    Frontier.run(spark, c, new CorpusFetcher(emptyDocs), 1,
+      Seq(("com.w", 10)).toDF("rev_host", "tokens_per_round"), rules, prio)
+    val urls = Frontier.fetchLog(spark, c).collect().map(_.getAs[String]("url")).toSet
+    assert(urls == Set("https://w.com/doc.pdfx", "https://w.com/files/pub/x",
+      "https://w.com/ok.html"))
+  }
+
   test("end-to-end: parsed robots.txt gates the frontier — disallowed paths never scheduled") {
     import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
     import graft.functions.gf

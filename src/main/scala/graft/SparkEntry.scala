@@ -378,8 +378,13 @@ object SparkEntry {
       val budgets = s.range(30).select(
         concat(lit("com.site"), col("id")).as("rev_host"),
         (pmod(col("id"), lit(3L)) + 1).cast("int").as("tokens_per_round"))
-      val robots = Seq(("com.site2", Seq("/page/1")))
-        .toDF("rev_host", "disallow_prefixes")
+      // RFC 9309 longest-match in the oracle-checked path, with BOTH
+      // directives verified live: on site14 the crawl schedules /page/12 and
+      // /page/188 without rules; Disallow /page/1 removes both, and the
+      // LONGER Allow /page/12 restores exactly /page/12 — so the hash check
+      // fails if either the disallow or the allow precedence regresses
+      val robots = Seq(("com.site14", Seq("/page/1"), Seq("/page/12")))
+        .toDF("rev_host", "disallow_prefixes", "allow_prefixes")
       Frontier.init(s, c, s.range(8).select(urlOf(col("id")).as("url")),
         priorities, robots)
       Frontier.run(s, c, fetcher, 3, budgets, robots, priorities)
@@ -636,7 +641,8 @@ object SparkEntry {
         |allowed AS (
         |  SELECT u.i, u.url, u.rev_host, hp.priority, hp.tokens
         |  FROM urls u JOIN hosts hp ON u.h = hp.h
-        |  WHERE NOT (u.rev_host = 'com.site2' AND starts_with(u.path, '/page/1'))),
+        |  WHERE NOT (u.rev_host = 'com.site14' AND starts_with(u.path, '/page/1')
+        |             AND NOT starts_with(u.path, '/page/12'))),
         |pend0 AS (SELECT url, rev_host, priority, tokens FROM allowed WHERE i < 8),
         |seen0 AS (SELECT url FROM pend0),
         |sel0 AS (SELECT url, rev_host, priority FROM (

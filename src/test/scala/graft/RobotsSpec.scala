@@ -157,6 +157,67 @@ class RobotsSpec extends AnyFunSuite {
       "https://w.com/ok.html"))
   }
 
+  test("randomized differential: engine longest-match filter == independent sequential matcher") {
+    import graft.frontier.{Frontier, UrlSeen}
+    import graft.sources.TableIO
+    // independent reference implementation (Pattern.quote-based escaping vs
+    // the engine's character-class escaping — two codepaths, one contract)
+    def refMatchLen(path: String, rule: String): Option[Int] = {
+      val special = rule.contains("*") || rule.endsWith("$")
+      if (!special) { if (path.startsWith(rule)) Some(rule.length) else None }
+      else {
+        val anchored = rule.endsWith("$")
+        val body = if (anchored) rule.dropRight(1) else rule
+        val rx = ("^" + body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+          .mkString(".*") + (if (anchored) "$" else "")).r
+        if (rx.findFirstIn(path).isDefined) Some(rule.length) else None
+      }
+    }
+    def refAllowed(path: String, dis: Seq[String], alw: Seq[String]): Boolean = {
+      val d = dis.flatMap(refMatchLen(path, _)).maxOption
+      val a = alw.flatMap(refMatchLen(path, _)).maxOption
+      d.isEmpty || a.exists(_ >= d.get)
+    }
+    val rnd = new scala.util.Random(20260817L)
+    val segs = Seq("a", "bb", "img", "pub", "x.y", "doc", "p-q", "1", "12")
+    def randPath(): String =
+      "/" + Seq.fill(1 + rnd.nextInt(3))(segs(rnd.nextInt(segs.size))).mkString("/") +
+        (if (rnd.nextBoolean()) "." + segs(rnd.nextInt(segs.size)) else "")
+    def randRule(): String = {
+      val base = randPath()
+      val withStar = rnd.nextInt(3) match {
+        case 0 => base
+        case 1 => // splice a * at a random position
+          val i = 1 + rnd.nextInt(base.length - 1); base.take(i) + "*" + base.drop(i)
+        case _ => base + "*"
+      }
+      if (rnd.nextInt(4) == 0) withStar.stripSuffix("*") + "$" else withStar
+    }
+    val paths = Seq.fill(300)(randPath()).distinct
+    val dis = Seq.fill(12)(randRule()).distinct
+    val alw = Seq.fill(8)(randRule()).distinct
+    val robots = Seq(("com.h", dis, alw))
+      .toDF("rev_host", "disallow_prefixes", "allow_prefixes")
+    val seeds = paths.map(p => s"https://h.com$p").toDF("url")
+    val prio = Seq(("com.h", 1.0)).toDF("rev_host", "priority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_diff").toString
+    val c = Frontier.Config(dir, defaultTokens = 2, saltBuckets = 4,
+      seenCfg = UrlSeen.Config(buckets = 4, bitsPerBucket = 1 << 14, numHashes = 5))
+    Frontier.init(spark, c, seeds, prio, robots)
+    val st = Frontier.lastCommittedAt(spark, c, -1).get
+    val enginePending = TableIO.readAt(spark, s"$dir/pending", st.pending)
+      .select("url").collect().map(_.getString(0)).toSet
+    // surt-canonicalization keeps one url per key; paths here are distinct
+    // and case differences don't collide, so pending == allowed seeds
+    val expected = paths.filter(p => refAllowed(p, dis, alw))
+      .map(p => s"https://h.com$p").toSet
+    assert(enginePending == expected,
+      s"engine-only: ${(enginePending -- expected).take(5)}; " +
+      s"reference-only: ${(expected -- enginePending).take(5)}")
+    // sanity: the random rule set actually exercised both directions
+    assert(expected.size < paths.size, "no path was ever disallowed")
+  }
+
   test("end-to-end: parsed robots.txt gates the frontier — disallowed paths never scheduled") {
     import graft.frontier.{CorpusFetcher, Frontier, UrlSeen}
     import graft.functions.gf

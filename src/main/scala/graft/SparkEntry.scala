@@ -276,6 +276,24 @@ object SparkEntry {
           col("crawl_delay"))
         .orderBy("rev_host")
     }),
+    // RFC 9309 §2.2.2/§2.2.3 rule DECISION oracle-checked row by row: fixed
+    // rule set (wildcard disallow '/p/1*', anchored disallow '/*.pdf$',
+    // longer wildcard allow '/p/1*.pdf') against arithmetic paths — the
+    // DuckDB oracle derives each verdict analytically from doc_id, so any
+    // regression in escaping, anchoring, wildcard spanning, or the
+    // longest-match/Allow-wins-ties precedence flips a row
+    "q_rep_match" -> ((s, dir) => {
+      import graft.frontier.Robots
+      val i = col("doc_id")
+      val path = concat(lit("/p/"), i,
+        when(i % 3 === 0, lit(".pdf")).otherwise(lit("")))
+      s.read.parquet(t(dir, "documents")).filter(i < 200)
+        .select(path.as("path"),
+          Robots.allowed(path,
+            typedLit(Seq("/p/1*", "/*.pdf$")),
+            typedLit(Seq("/p/1*.pdf"))).as("fetchable"))
+        .orderBy("path")
+    }),
     // robots.txt `Sitemap:` directives → host-graph link tuples (the
     // reference's default-on link class, `hostgraph_config.sh:19-21`,
     // `build_hostgraph.sh:151-152`): host-wide records (group-independent),
@@ -592,6 +610,13 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 0 THEN 4.0 ELSE 2.5 END AS crawl_delay
         |FROM documents WHERE doc_id < 50 AND doc_id % 4 IN (0, 1)
         |ORDER BY rev_host""".stripMargin,
+    "q_rep_match" ->
+      """SELECT '/p/' || doc_id ||
+        |       CASE WHEN doc_id % 3 = 0 THEN '.pdf' ELSE '' END AS path,
+        |  CASE WHEN starts_with(CAST(doc_id AS VARCHAR), '1') AND doc_id % 3 = 0 THEN true
+        |       WHEN starts_with(CAST(doc_id AS VARCHAR), '1') OR doc_id % 3 = 0 THEN false
+        |       ELSE true END AS fetchable
+        |FROM documents WHERE doc_id < 200 ORDER BY path""".stripMargin,
     "q_sitemap_links" ->
       """SELECT 'com.site' || doc_id AS from_host,
         |       'org.example.maps' || (doc_id % 5) AS to_host

@@ -300,44 +300,20 @@ object Frontier {
     *          [, allow_prefixes array<string>]) — path patterns.
     */
   private def robotsFilter(rows: DataFrame, robots: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Column
     val rules =
       if (robots.columns.contains("allow_prefixes"))
         robots.select(col("rev_host"), col("disallow_prefixes"), col("allow_prefixes"))
       else
         robots.select(col("rev_host"), col("disallow_prefixes"),
           lit(null).cast("array<string>").as("allow_prefixes"))
-    // a rule pattern → an anchored Java regex: escape regex metacharacters,
-    // then `*` → `.*`; a trailing `$` (stripped before escaping) re-anchors
-    def patternRegex(p: Column): Column = {
-      val anchored = p.endsWith("$")
-      val body = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
-      val esc = regexp_replace(body,
-        "[\\\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|]", "\\\\$0")
-      concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
-        when(anchored, lit("$")).otherwise(lit("")))
-    }
-    // octet length of the matching rule (RFC 9309 §2.2.2 specificity), null
-    // when the rule doesn't match this path
-    def matchLen(p: Column): Column = {
-      val special = p.contains("*") || p.endsWith("$")
-      when(special, when(regexp_like(col("__path"), patternRegex(p)), length(p)))
-        .otherwise(when(col("__path").startsWith(p), length(p)))
-    }
-    def longestMatch(arr: Column): Column =
-      array_max(transform(arr, p => matchLen(p)))
     val withPath = rows.withColumn("__path",
       when(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1) === "", lit("/"))
         .otherwise(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)))
     withPath
       .join(rules, Seq("rev_host"), "left_outer")
-      .withColumn("__dis", when(col("disallow_prefixes").isNotNull,
-        longestMatch(col("disallow_prefixes"))))
-      .withColumn("__alw", when(col("allow_prefixes").isNotNull,
-        longestMatch(col("allow_prefixes"))))
-      .filter(col("__dis").isNull ||
-        (col("__alw").isNotNull && col("__alw") >= col("__dis")))
-      .drop("__path", "__dis", "__alw", "disallow_prefixes", "allow_prefixes")
+      .filter(Robots.allowed(col("__path"),
+        col("disallow_prefixes"), col("allow_prefixes")))
+      .drop("__path", "disallow_prefixes", "allow_prefixes")
   }
 
   /** Effective politeness budgets: the explicit operator budget table,

@@ -142,6 +142,43 @@ object Robots {
         greatest(lit(1L), floor(lit(roundSeconds) / col("crawl_delay")))
           .cast("int").as("tokens_per_round"))
 
+  /** The RFC 9309 rule DECISION as a column expression: is `path` fetchable
+    * under `disallow`/`allow` pattern arrays? §2.2.2 precedence — the rule
+    * with the most octets wins, `Allow` wins length ties; §2.2.3 special
+    * characters — `*` matches any octet sequence, trailing `$` anchors the
+    * path end; rules without them take a literal-prefix fast path (no
+    * per-row regex). A null `allow` array means no Allow rules.
+    * Shared by the Frontier's enqueue filter and the q_rep_match oracle row.
+    */
+  def allowed(path: Column, disallow: Column, allow: Column): Column = {
+    val dis = when(disallow.isNotNull,
+      array_max(transform(disallow, p => matchLen(path, p))))
+    val alw = when(allow.isNotNull,
+      array_max(transform(allow, p => matchLen(path, p))))
+    dis.isNull || (alw.isNotNull && alw >= dis)
+  }
+
+  /** Octet length of `rule` if it matches `path`, else null (§2.2.2
+    * specificity).
+    */
+  private def matchLen(path: Column, rule: Column): Column = {
+    val special = rule.contains("*") || rule.endsWith("$")
+    when(special, when(regexp_like(path, patternRegex(rule)), length(rule)))
+      .otherwise(when(path.startsWith(rule), length(rule)))
+  }
+
+  /** A rule pattern → an anchored Java regex: escape regex metacharacters,
+    * then `*` → `.*`; a trailing `$` (stripped before escaping) re-anchors.
+    */
+  private def patternRegex(p: Column): Column = {
+    val anchored = p.endsWith("$")
+    val body = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    val esc = regexp_replace(body,
+      "[\\\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|]", "\\\\$0")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** Sitemap URLs as frontier seed candidates: (url). Union into the seed
     * list at [[Frontier.init]] (or enqueue on robots refetch) — the
     * candidate class the reference captures by default.

@@ -276,6 +276,31 @@ object SparkEntry {
           col("crawl_delay"))
         .orderBy("rev_host")
     }),
+    // Crawl-delay → politeness budgets at the driver gate (VERDICT r3
+    // item 4): parse real bodies (winning-group scoping, min-of-group,
+    // fractional seconds), derive tokens_per_round = max(1, floor(60/d)),
+    // and apply the explicit-override merge — all analytic in the oracle
+    "q_crawl_delay" -> ((s, dir) => {
+      import graft.frontier.{Frontier, Robots}
+      import s.implicits._
+      val i = col("doc_id")
+      // delay = (i%7)*3 seconds; 0 → directive absent (host dropped unless
+      // overridden); exact-agent group (delay/2) beats the wildcard's
+      val body =
+        when(i % 7 === 0, lit("User-agent: *\nDisallow: /none"))
+          .otherwise(concat(
+            lit("User-agent: *\nCrawl-delay: "), (i % 7) * 3,
+            lit("\nUser-agent: graftbot\nCrawl-delay: "), (i % 7) * lit(1.5)))
+      val rules = Robots.parseFull(
+        s.read.parquet(t(dir, "documents")).filter(i < 60)
+          .select(concat(lit("com.site"), i).as("rev_host"), body.as("body")),
+        agent = "graftbot")
+      val explicit = s.range(10)
+        .select(concat(lit("com.site"), col("id") * 7).as("rev_host"),
+          (col("id") + 2).cast("int").as("tokens_per_round"))
+      Frontier.budgetsWithRobots(explicit, rules, roundSeconds = 60.0)
+        .orderBy("rev_host")
+    }),
     // RFC 9309 §2.2.2/§2.2.3 rule DECISION oracle-checked row by row: fixed
     // rule set (wildcard disallow '/p/1*', anchored disallow '/*.pdf$',
     // longer wildcard allow '/p/1*.pdf') against arithmetic paths — the
@@ -609,6 +634,18 @@ object SparkEntry {
         |       ELSE '' END AS "allow",
         |  CASE WHEN doc_id % 4 = 0 THEN 4.0 ELSE 2.5 END AS crawl_delay
         |FROM documents WHERE doc_id < 50 AND doc_id % 4 IN (0, 1)
+        |ORDER BY rev_host""".stripMargin,
+    "q_crawl_delay" ->
+      """WITH parsed AS (
+        |  SELECT 'com.site' || doc_id AS rev_host,
+        |         CAST(GREATEST(1, FLOOR(40.0 / (doc_id % 7))) AS INT) AS cd_tokens
+        |  FROM documents WHERE doc_id < 60 AND doc_id % 7 <> 0),
+        |explicit AS (
+        |  SELECT 'com.site' || (k * 7) AS rev_host, CAST(k + 2 AS INT) AS tokens
+        |  FROM (SELECT unnest(range(0, 10)) AS k))
+        |SELECT COALESCE(e.rev_host, p.rev_host) AS rev_host,
+        |       CAST(COALESCE(e.tokens, p.cd_tokens) AS INT) AS tokens_per_round
+        |FROM explicit e FULL OUTER JOIN parsed p ON e.rev_host = p.rev_host
         |ORDER BY rev_host""".stripMargin,
     "q_rep_match" ->
       """SELECT '/p/' || doc_id ||

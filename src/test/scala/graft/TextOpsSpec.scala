@@ -109,6 +109,18 @@ class TextOpsSpec extends AnyFunSuite {
     val maxTid = Dedup.docTokenIdsHashed(fixture, "doc_id", "text")
       .agg(org.apache.spark.sql.functions.max($"tid")).first().getLong(0)
     assert(maxTid > (1L << 31) && maxTid < Dedup.MinhashP61)
+    // randomized sweep: 200 seeded-uniform tids over the full universe
+    val rnd = new scala.util.Random(61L)
+    val rtids = Seq.fill(200)(math.abs(rnd.nextLong()) % Dedup.MinhashP61)
+    val rdf = rtids.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc", "tid")
+    val rgot = Dedup.minhashSignatures61(rdf, k = 8).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(j => r.getLong(j + 1))).toMap
+    rtids.zipWithIndex.foreach { case (t, i) =>
+      (0 until 8).foreach { j =>
+        val expect = ((BigInt(Dedup.MinhashA(j)) * t + Dedup.MinhashB(j)) mod p).toLong
+        assert(rgot(i.toLong)(j) == expect, s"random tid $t h$j")
+      }
+    }
   }
 
   test("simhash: equal token sets → equal signature; disjoint sets differ") {

@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark (driver contract): one JSON line with
   *  - per-query wall times over `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS`,
-  *  - the north_rule frontier metrics: urls_scheduled/sec at local[8] vs
-  *    local[32] on an identical synthetic corpus + scaling efficiency
-  *    (BASELINE.md protocol; skip with SPARK_GRAFT_SKIP_SCALING=1).
+  *  - the north_rule frontier metrics: urls_scheduled/sec on an identical
+  *    synthetic corpus at two cluster sizes — separate executor JVMs via
+  *    `local-cluster[1,4,m]` vs `local-cluster[4,4,m]` — plus scaling
+  *    efficiency (committed BENCH/BASELINE.md protocol; re-measure live
+  *    with SPARK_GRAFT_BENCH_SCALING=live).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

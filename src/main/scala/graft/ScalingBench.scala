@@ -70,8 +70,16 @@ object ScalingBench {
     */
   def ensureAdjacency(in: Prepared): Unit = {
     import graft.frontier.AdjacencyFetcher
-    def missing(p: String) =
-      !new java.io.File(p, "_SUCCESS").isFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    // Hadoop FS probe, not java.io.File: SPARK_GRAFT_SCALE_INPUT may be a
+    // non-local URI (hdfs://, s3a://) and a File probe is always false
+    // there, silently re-deriving the adjacency tables with overwrite on
+    // every invocation (ADVICE r4)
+    def missing(p: String) = {
+      val path = new Path(p, "_SUCCESS")
+      !path.getFileSystem(new Configuration()).exists(path)
+    }
     if (missing(in.pairsAdj) || missing(in.warmPairsAdj)) {
       val spark = Graft.session(master = "local[32]", shufflePartitions = 64,
         appName = "graft-scaling-adj-convert")
@@ -224,7 +232,9 @@ object ScalingBench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     val seeds = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEEDS", "250000").toInt
     val tokens = sys.env.getOrElse("SPARK_GRAFT_SCALE_TOKENS", "16").toInt
-    val samples = sys.env.getOrElse("SPARK_GRAFT_SCALE_SAMPLES", "3").toInt
+    // default matches the committed protocol (≥5 sample pairs, median
+    // efficiency headline — ADVICE r4): a bare run produces a compliant record
+    val samples = sys.env.getOrElse("SPARK_GRAFT_SCALE_SAMPLES", "5").toInt
     val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "12288").toInt
     val cpe = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "4").toInt
 

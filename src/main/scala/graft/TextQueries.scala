@@ -35,7 +35,14 @@ object TextQueries {
     // pairs ≥ threshold with exactly the exact-Jaccard values (8 bands × 1
     // row makes a banding false-negative at j ≥ 0.9 a ≤1e-8 event, and the
     // exact verify stage removes every banding false positive; a hashed-tid
-    // collision would break value equality — the oracle checks that too)
+    // collision would break value equality — the oracle checks that too).
+    // NOTE (ADVICE r4): with the FIXED hash family the banding outcome is
+    // deterministic per fixture, so this guarantee is fixture-dependent —
+    // the current fixture's near-dup pairs are either exact duplicates
+    // (j = 1, caught by every band) or far below threshold; a future
+    // fixture introducing a pair with Jaccard just above 0.9 could miss all
+    // 8 bands and fail this oracle PERSISTENTLY, not flakily. Keep injected
+    // near-dups exact or comfortably above threshold.
     "q_minhash_hashed" -> ((s, dir) => {
       Dedup.minhashDedupHashed(docs(s, dir), "doc_id", "text", threshold = 0.9,
         k = 8, rowsPerBand = 1)

@@ -110,15 +110,19 @@ class GraphSession(val vertices: DataFrame, val edges: DataFrame) {
     labels.flatMap(found.get)
   }
 
-  /** Save vertex ids as their labels, one per line, in the given order;
-    * ids not in the graph are dropped (`GraphExplorer.java:208-243`).
+  /** Save vertex ids as their labels, ONE LINE PER INPUT ID in the given
+    * order (`GraphExplorer.java:208-243` prints unconditionally per id).
+    * Divergence for ids absent from the graph: the reference's dense-list
+    * lookup (`Graph.java:102-112`) would throw on an out-of-range id; here
+    * the id's decimal string is written instead (same fallback as
+    * [[formatVertices]]), keeping the per-id line contract total.
     */
   def saveVerticesToFile(ids: Seq[Long], fileName: String): Unit = {
     if (ids.isEmpty) { saveToFile(Seq.empty, fileName); return }
     val labels = vC.filter(col("id").isin(ids: _*))
       .select("id", "rev_name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    saveToFile(ids.flatMap(labels.get), fileName)
+    saveToFile(ids.map(id => labels.getOrElse(id, id.toString)), fileName)
   }
 
   /** Save strings one per line (`GraphExplorer.java:245-251`). */

@@ -58,9 +58,11 @@ class MergeSccExploreSpec extends AnyFunSuite {
     val g = new GraphSession(v, e)
     val dir = java.nio.file.Files.createTempDirectory("graft_explore_io")
     val f = s"$dir/set.txt"
-    // save keeps order, drops unknown ids
+    // save keeps order, one line PER INPUT ID (GraphExplorer.java:208-243
+    // prints unconditionally; unknown ids fall back to their decimal string
+    // where the reference's dense-list lookup would throw)
     g.saveVerticesToFile(Seq(2L, 0L, 99L), f)
-    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(f)) == "com.c\ncom.a\n")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(f)) == "com.c\ncom.a\n99\n")
     // load keeps file order, drops unknown labels
     g.saveToFile(Seq("com.b", "org.unknown", "com.a"), f)
     assert(g.loadVerticesFromFile(f) == Seq(1L, 0L))

@@ -126,7 +126,14 @@ object ScalingBench {
         // split the corpus scan finer than the 128m default: ~4 task waves
         // per stage instead of ~1 so one slow split can't stretch the stage
         // (AQE re-coalesces the shuffle side; this only affects file scans)
-        "spark.sql.files.maxPartitionBytes" -> "33554432"))
+        "spark.sql.files.maxPartitionBytes" -> "33554432",
+        // experiment knob: SPARK_GRAFT_SCALE_AQE=0 disables adaptive
+        // execution for the frontier bench — each AQE query-stage
+        // materializes as its own scheduled job, and the frontier round's
+        // many small fixed-shape queries pay that scheduling latency as a
+        // per-round floor (GRAFT_JOBLOG shows ~20+ stage jobs/round)
+        "spark.sql.adaptive.enabled" ->
+          (if (sys.env.get("SPARK_GRAFT_SCALE_AQE").contains("0")) "false" else "true")))
   }
 
   /** Untimed setup: synthesize and write all input tables once (local[32] —

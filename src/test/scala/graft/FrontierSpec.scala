@@ -221,6 +221,30 @@ class FrontierSpec extends AnyFunSuite {
     assert(tableBloom == base)
   }
 
+  test("fetcher parity: Corpus, Table and Adjacency layouts crawl byte-identically") {
+    // the adjacency layout `(key, outlinks array)` is the shape the 100 TB
+    // design and ScalingBench actually scan (Graph.java:160-166 successor
+    // lists) — a row-dropping or duplicating bug in groupPairs/explode must
+    // break THIS pinned contract, not only cross-size agreement in the
+    // bench (VERDICT r4 item 2)
+    import graft.frontier.{AdjacencyFetcher, Fetcher, TableFetcher}
+    def runWith(name: String, f: Fetcher): (Seq[(Int, Long, String)], Set[String]) = {
+      val c0 = cfg(Files.createTempDirectory(name).toString)
+      Frontier.init(spark, c0, seeds, priorities, robots)
+      Frontier.run(spark, c0, f, 3, budgets, robots, priorities)
+      (Frontier.fetchLog(spark, c0).collect()
+         .map(r => (r.getAs[Int]("round"), r.getAs[Long]("seq"), r.getAs[String]("url"))).toSeq,
+       Frontier.seenKeys(spark, c0).collect().map(_.getString(0)).toSet)
+    }
+    val corpus = runWith("f_fcorpus", fetcher)
+    val table = runWith("f_ftable", new TableFetcher(fetcher.pairs))
+    val adjacency = runWith("f_fadj",
+      new AdjacencyFetcher(AdjacencyFetcher.groupPairs(fetcher.pairs)))
+    assert(table == corpus)
+    assert(adjacency == corpus)
+    assert(corpus._1.nonEmpty)
+  }
+
   test("compaction resets the removed table and keeps resume byte-identical") {
     val full = Files.createTempDirectory("f_cmp_full").toString
     Frontier.init(spark, cfg(full).copy(compactPendingEvery = 2), seeds, priorities, robots)

@@ -11,6 +11,7 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+run / connectInput := true  // forward stdin to forked mains (graft.explore.Shell)
 // local-cluster mode (graft.ScalingBench: N-vs-4N separate executor JVMs)
 // needs the standalone Worker to find the Spark distro + scala version when
 // launching executor processes.

@@ -44,19 +44,31 @@ object Bench {
     val scaling =
       if (sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("live")) {
         try {
-          // SAME env defaults as ScalingBench.main so a live re-measurement
-          // reproduces the committed BENCH/BASELINE.md protocol (4-core
-          // executors — ScaleProbe shows this box caps pure-CPU scaling at
-          // ~3.0x for 8→32 threads but 3.75x for 4→16, so 8-core executors
-          // would measure the host ceiling, not the engine)
+          // SAME env defaults as ScalingBench.main — including the
+          // protocol's ≥5 sample pairs and MEDIAN headline — so a live
+          // re-measurement actually reproduces the committed
+          // BENCH/BASELINE.md protocol rather than a single-pair record
+          // labeled as it (ADVICE r4/code review; 4-core executors because
+          // ScaleProbe shows this box caps pure-CPU scaling at ~3.0x for
+          // 8→32 threads but 3.75x for 4→16 — 8-core executors would
+          // measure the host ceiling, not the engine)
           val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "8000000").toLong
+          val nHosts = sys.env.getOrElse("SPARK_GRAFT_SCALE_HOSTS", "20000").toInt
+          val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+          val seeds = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEEDS", "250000").toInt
+          val tokens = sys.env.getOrElse("SPARK_GRAFT_SCALE_TOKENS", "16").toInt
+          val samples = sys.env.getOrElse("SPARK_GRAFT_SCALE_SAMPLES", "5").toInt
           val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "12288").toInt
           val cpe = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "4").toInt
-          val in = ScalingBench.prepare(nDocs, 20000, seeds = 250000, tokens = 16)
-          val lo = ScalingBench.runOnce(1, cpe, memMb, in, rounds = 3, tokens = 16)
-          val hi = ScalingBench.runOnce(4, cpe, memMb, in, rounds = 3, tokens = 16)
-          val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
-          f""","frontier":{"source":"live","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","urls":${hi.urls},"thr_lo":${lo.urlsPerSec}%.2f,"thr_hi":${hi.urlsPerSec}%.2f,"urls_scheduled_per_sec":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"deterministic":${lo.urls == hi.urls}}"""
+          val in = ScalingBench.prepare(nDocs, nHosts, seeds = seeds, tokens = tokens)
+          val pairs = (1 to samples).map { _ =>
+            val lo = ScalingBench.runOnce(1, cpe, memMb, in, rounds = rounds, tokens = tokens)
+            val hi = ScalingBench.runOnce(4, cpe, memMb, in, rounds = rounds, tokens = tokens)
+            (lo, hi, hi.urlsPerSec / (4.0 * lo.urlsPerSec))
+          }
+          val sorted = pairs.sortBy(_._3)
+          val (lo, hi, eff) = sorted(sorted.size / 2) // median-efficiency pair
+          f""","frontier":{"source":"live","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","samples":$samples,"urls":${hi.urls},"thr_lo":${lo.urlsPerSec}%.2f,"thr_hi":${hi.urlsPerSec}%.2f,"urls_scheduled_per_sec":${hi.urlsPerSec}%.2f,"scaling_efficiency":$eff%.3f,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"deterministic":${pairs.forall(p => p._1.urls == p._2.urls)}}"""
         } catch { case e: Throwable =>
           s""","frontier":{"error":"${e.getClass.getSimpleName}"}"""
         }

@@ -70,28 +70,28 @@ object ScalingBench {
     */
   def ensureAdjacency(in: Prepared): Unit = {
     import graft.frontier.AdjacencyFetcher
-    import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     // Hadoop FS probe, not java.io.File: SPARK_GRAFT_SCALE_INPUT may be a
     // non-local URI (hdfs://, s3a://) and a File probe is always false
     // there, silently re-deriving the adjacency tables with overwrite on
-    // every invocation (ADVICE r4)
-    def missing(p: String) = {
-      val path = new Path(p, "_SUCCESS")
-      !path.getFileSystem(new Configuration()).exists(path)
-    }
-    if (missing(in.pairsAdj) || missing(in.warmPairsAdj)) {
-      val spark = Graft.session(master = "local[32]", shufflePartitions = 64,
-        appName = "graft-scaling-adj-convert")
-      try {
-        if (missing(in.pairsAdj))
-          AdjacencyFetcher.groupPairs(spark.read.parquet(in.pairs))
-            .write.mode("overwrite").parquet(in.pairsAdj)
-        if (missing(in.warmPairsAdj))
-          AdjacencyFetcher.groupPairs(spark.read.parquet(in.warmPairs))
-            .write.mode("overwrite").parquet(in.warmPairsAdj)
-      } finally spark.stop()
-    }
+    // every invocation (ADVICE r4). The probe runs under a session so its
+    // Hadoop conf carries the spark.hadoop.* settings — a bare
+    // `new Configuration()` drops credentials/endpoints for exactly those
+    // non-local URIs (review r5).
+    val spark = Graft.session(master = "local[32]", shufflePartitions = 64,
+      appName = "graft-scaling-adj-convert")
+    try {
+      def missing(p: String) = {
+        val path = new Path(p, "_SUCCESS")
+        !path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+      }
+      if (missing(in.pairsAdj))
+        AdjacencyFetcher.groupPairs(spark.read.parquet(in.pairs))
+          .write.mode("overwrite").parquet(in.pairsAdj)
+      if (missing(in.warmPairsAdj))
+        AdjacencyFetcher.groupPairs(spark.read.parquet(in.warmPairs))
+          .write.mode("overwrite").parquet(in.warmPairsAdj)
+    } finally spark.stop()
   }
 
   /** A session on a local-cluster of `executors` separate executor JVMs. */

@@ -1,11 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. [[VerifyOne]]
+  * dumps a named subset through the same code path (iteration aid).
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+
+  /** Dump `names` (None = all queries) to `outDir/<name>` parquet plus the
+    * matching `oracle_sql.json` — the SINGLE implementation behind both
+    * mains, so the session config and the JSON escaper can't drift between
+    * them.
+    */
+  def dump(sfDir: String, outDir: String, names: Option[Set[String]]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +23,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // an unknown name is an error in the iteration-aid use case (a typo'd
+    // VerifyOne run would otherwise "pass" by dumping nothing)
+    names.foreach { ns =>
+      val unknown = ns.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")} — " +
+        s"known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+    }
+    val selected = names match {
+      case Some(ns) => SparkEntry.queries.filter(kv => ns.contains(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,48 +54,29 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val oracle = names match {
+      case Some(ns) => SparkEntry.oracleSql.filter(kv => ns.contains(kv._1))
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    dump(sfDir, outDir, None)
   }
 }
 
 /** Iteration aid: dump only the NAMED queries (args: sfDir outDir name...)
   * — same parquet + oracle_sql.json shape as [[Verify]], so the same
   * DuckDB compare runs against a subset while a query is being built.
+  * Unknown names fail loudly.
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => names.contains(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    require(args.length >= 3, "usage: VerifyOne <sfDir> <outDir> <query> [query ...]")
+    Verify.dump(args(0), args(1), Some(args.drop(2).toSet))
   }
 }

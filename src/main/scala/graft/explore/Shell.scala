@@ -36,7 +36,12 @@ class Shell(g: GraphSession, in: BufferedReader, out: java.io.PrintStream) {
   private var workingSet: Seq[Long] = Seq.empty
 
   private def vertexOf(tok: String): Option[Long] =
-    if (tok.forall(_.isDigit)) Some(tok.toLong) else g.vertexLabelToId(tok)
+    if (tok.nonEmpty && tok.forall(_.isDigit))
+      // validate numeric ids against the graph too, so `cn 999` reports
+      // "not found" exactly like an unknown label instead of silently
+      // setting a dangling working node
+      tok.toLongOption.filter(id => g.vertexIdToLabel(id).isDefined)
+    else g.vertexLabelToId(tok)
 
   private def printVertices(ids: Seq[Long]): Unit =
     g.formatVertices(ids).foreach(out.println)
@@ -68,14 +73,21 @@ class Shell(g: GraphSession, in: BufferedReader, out: java.io.PrintStream) {
       case Seq("sl", v) =>
         vertexOf(v).fold(out.println(s"vertex `$v` not found"))(id => printVertices(g.sl(id)))
         true
+      case Seq("outdegree") =>
+        g.pwn().fold(printCurrent())(c => out.println(g.outdegree(c._1)))
+        true
       case Seq("outdegree", v) =>
         vertexOf(v).fold(out.println(s"vertex `$v` not found"))(id => out.println(g.outdegree(id)))
+        true
+      case Seq("indegree") =>
+        g.pwn().fold(printCurrent())(c => out.println(g.indegree(c._1)))
         true
       case Seq("indegree", v) =>
         vertexOf(v).fold(out.println(s"vertex `$v` not found"))(id => out.println(g.indegree(id)))
         true
       case Seq("tld", label) =>
-        g.successorTldCounts(label).collect()
+        if (g.vertexLabelToId(label).isEmpty) out.println(s"vertex `$label` not found")
+        else g.successorTldCounts(label).collect()
           .foreach(r => out.println(s"${r.get(1)}\t${r.get(0)}"))
         true
       case Seq("prefix", p) =>
@@ -109,14 +121,19 @@ class Shell(g: GraphSession, in: BufferedReader, out: java.io.PrintStream) {
       out.print("graft> ")
       out.flush()
       val line = in.readLine()
-      go = line != null && dispatch(line)
+      // a bad command argument (unknown label reaching an engine call, a
+      // non-numeric count, an unreadable file) must not kill the session —
+      // report and re-prompt, like any shell
+      go = line != null && (try dispatch(line) catch {
+        case e: Exception => out.println(s"error: ${e.getMessage}"); true
+      })
     }
   }
 }
 
 object Shell {
   val help: String =
-    """cn <vertex> | pwn | ls [vertex] | sl [vertex] | outdegree <v> | indegree <v>
+    """cn <vertex> | pwn | ls [vertex] | sl [vertex] | outdegree [v] | indegree [v]
       |tld <label> | prefix <p> | shared <id,..> <min> <max>
       |load <file> | save <file> | set | stats | help | exit""".stripMargin
 

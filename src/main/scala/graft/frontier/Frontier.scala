@@ -458,6 +458,15 @@ object Frontier {
     // `blocks` handle keeps per-round intermediates releasable over a
     // thousands-of-rounds crawl (the round's owner unpersists it after its
     // commit). The count doubles as the eager materialization.
+    // Durability trade (deliberate): localCheckpoint blocks are LOST if
+    // their executor dies — unlike the old lineage-bearing persist, the
+    // batch is then unrecoverable in-run and the round's job fails. That
+    // is already the crawl's designed recovery path: the round marker was
+    // not written, so a rerun resumes from the last committed marker and
+    // replays the round byte-identically (FrontierSpec kill/resume tests).
+    // In-run self-healing is given up for cross-round cache-invalidation
+    // safety, which bit measurably; executor loss mid-round costs a
+    // replayed round, not corrupted state.
     val spark = plan.sparkSession
     val rdd = plan.rdd
     rdd.localCheckpoint()
@@ -483,10 +492,8 @@ object Frontier {
       blooms = blooms2
       prep = prep2
     }
-    prep.foreach { p =>
-      p.blocks.unpersist(blocking = false)
-      p.candidates.foreach(_.unpersist(blocking = false))
-    }
+    // (no post-loop prep cleanup needed: prepareNext is false on the final
+    // iteration, so the loop always exits with prep == None)
     st
   }
 
@@ -606,15 +613,35 @@ object Frontier {
     // commits instead of serializing at the head of round+1 (VERDICT r4
     // item 3: the only stage left on a steady round's critical path is the
     // seen-set dedup + commit machinery)
-    val fPrep: Option[Future[Prep]] =
+    // The prep is SPECULATIVE: a failure in it (transient executor loss,
+    // disk pressure during its shuffle) must not fail the crawl — the round
+    // is durably committed regardless, and the non-pipelined fallback at
+    // the head of round+1 recomputes exactly the same batch from the
+    // snapshots. On failure the select checkpoint is released; a candidates
+    // cache persisted by a failing extract is the one (rare) leak accepted
+    // here.
+    val fPrep: Option[Future[Option[Prep]]] =
       if (prepareNext) Some(Future {
-        val p = selectBatch(c,
-          pending.join(selected.select("key"), Seq("key"), "left_anti")
-            .unionByName(newRows),
-          budgets)
-        val (cd, nCd, ub) = extractCandidates(c, fetcher, p.selected, p.nSelected,
-          priorities, robots)
-        p.copy(candidates = Some(cd), nCandidates = nCd, useBarrier = ub)
+        try {
+          val p = selectBatch(c,
+            pending.join(selected.select("key"), Seq("key"), "left_anti")
+              .unionByName(newRows),
+            budgets)
+          try {
+            val (cd, nCd, ub) = extractCandidates(c, fetcher, p.selected, p.nSelected,
+              priorities, robots)
+            Some(p.copy(candidates = Some(cd), nCandidates = nCd, useBarrier = ub))
+          } catch { case e: Exception =>
+            p.blocks.unpersist(blocking = false)
+            System.err.println(s"[frontier] pipelined extract failed, " +
+              s"round ${round + 1} will recompute: $e")
+            None
+          }
+        } catch { case e: Exception =>
+          System.err.println(s"[frontier] pipelined selection failed, " +
+            s"round ${round + 1} will recompute: $e")
+          None
+        }
       }) else None
     val (pSnap, rSnap) = Await.result(fPending, Duration.Inf)
     val (seenSnap, blooms) = Await.result(fSeen, Duration.Inf)
@@ -628,7 +655,7 @@ object Frontier {
     writeMarker(spark, c, newState, counters)
     // the pipelined selection still reads this round's caches — await it
     // before releasing them (it is already materialized by its own count)
-    val prepNext = fPrep.map(Await.result(_, Duration.Inf))
+    val prepNext = fPrep.flatMap(Await.result(_, Duration.Inf))
     lap("prep-next")
     // round is durably committed — release its intermediates (the
     // pipelined next selection is already checkpoint-materialized, so

@@ -68,7 +68,10 @@ object PageRank {
       // (a plain persist stack-overflows task serialization by iteration
       // ~60), and createDataFrame(rdd, schema) rebuilds a leaf with no
       // inherited stats, keeping every iteration O(step). pr_val
-      // arithmetic is untouched, so results are unchanged.
+      // arithmetic is untouched, so results are unchanged. Durability
+      // trade: losing an executor holding checkpoint blocks fails the job
+      // instead of recomputing (truncated lineage) — acceptable for a
+      // stateless batch algorithm the caller simply reruns.
       val joined = step(ranks, edgesDeg, pref, alpha)
         .join(ranks.select(col("id"), col("pr_val").as("__old")), Seq("id"))
       val rdd = joined.rdd

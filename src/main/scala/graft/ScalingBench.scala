@@ -63,34 +63,67 @@ object ScalingBench {
                             budgets: String, seeds: String, warmPairs: String) {
     def pairsAdj: String = pairs + "_adj"
     def warmPairsAdj: String = warmPairs + "_adj"
+    /** KEY-CLUSTERED adjacency layout (VERDICT r5 item 1) — the layout the
+      * timed runs scan: hash-bucket column + within-file (bucket, key) sort
+      * + 16 MB row groups, written by `AdjacencyFetcher.writeClustered`.
+      */
+    def pairsCAdj: String = pairs + "_cadj"
+    def warmPairsCAdj: String = warmPairs + "_cadj"
+  }
+
+  /** The bucket count the bench's clustered tables are written AND opened
+    * with — must agree or the pushed envelopes prune nothing (still exact).
+    */
+  val clustering: graft.frontier.AdjacencyFetcher.Clustering =
+    graft.frontier.AdjacencyFetcher.Clustering(buckets = 64)
+
+  /** A Hadoop conf carrying the session-independent spark.hadoop.* settings
+    * (what SparkHadoopUtil appends for a real session) — lets the layout
+    * probes run WITHOUT paying a full SparkSession start when every table
+    * already exists (ADVICE r5).
+    */
+  private def probeConf(): org.apache.hadoop.conf.Configuration = {
+    val hc = new org.apache.hadoop.conf.Configuration()
+    new org.apache.spark.SparkConf(true).getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.hadoop.")) hc.set(k.stripPrefix("spark.hadoop."), v)
+    }
+    hc
   }
 
   /** Materialize the adjacency-layout link tables beside existing flat ones
-    * (idempotent; lets a pre-round-4 prepared input dir be reused).
+    * (idempotent; lets a pre-round-4 prepared input dir be reused; a
+    * pre-round-6 dir gains the clustered layout, derived from the grouped
+    * one so dirs whose flat `pairs` was deleted to save disk still work).
+    * Probes use a session-free Hadoop conf (non-local URIs keep their
+    * spark.hadoop.* credentials, ADVICE r4/r5); the conversion session is
+    * only created when a table is actually missing.
     */
   def ensureAdjacency(in: Prepared): Unit = {
     import graft.frontier.AdjacencyFetcher
     import org.apache.hadoop.fs.Path
-    // Hadoop FS probe, not java.io.File: SPARK_GRAFT_SCALE_INPUT may be a
-    // non-local URI (hdfs://, s3a://) and a File probe is always false
-    // there, silently re-deriving the adjacency tables with overwrite on
-    // every invocation (ADVICE r4). The probe runs under a session so its
-    // Hadoop conf carries the spark.hadoop.* settings — a bare
-    // `new Configuration()` drops credentials/endpoints for exactly those
-    // non-local URIs (review r5).
+    val hc = probeConf()
+    def missing(p: String) = {
+      val path = new Path(p, "_SUCCESS")
+      !path.getFileSystem(hc).exists(path)
+    }
+    val needed = Seq(in.pairsAdj, in.warmPairsAdj, in.pairsCAdj, in.warmPairsCAdj)
+      .exists(missing)
+    if (!needed) return
     val spark = Graft.session(master = "local[32]", shufflePartitions = 64,
       appName = "graft-scaling-adj-convert")
     try {
-      def missing(p: String) = {
-        val path = new Path(p, "_SUCCESS")
-        !path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
-      }
       if (missing(in.pairsAdj))
         AdjacencyFetcher.groupPairs(spark.read.parquet(in.pairs))
           .write.mode("overwrite").parquet(in.pairsAdj)
       if (missing(in.warmPairsAdj))
         AdjacencyFetcher.groupPairs(spark.read.parquet(in.warmPairs))
           .write.mode("overwrite").parquet(in.warmPairsAdj)
+      if (missing(in.pairsCAdj))
+        AdjacencyFetcher.writeClustered(spark.read.parquet(in.pairsAdj),
+          in.pairsCAdj, clustering)
+      if (missing(in.warmPairsCAdj))
+        AdjacencyFetcher.writeClustered(spark.read.parquet(in.warmPairsAdj),
+          in.warmPairsCAdj, clustering)
     } finally spark.stop()
   }
 
@@ -164,6 +197,10 @@ object ScalingBench {
         .write.parquet(p.pairsAdj)
       AdjacencyFetcher.groupPairs(spark.read.parquet(p.warmPairs))
         .write.parquet(p.warmPairsAdj)
+      AdjacencyFetcher.writeClustered(spark.read.parquet(p.pairsAdj),
+        p.pairsCAdj, clustering)
+      AdjacencyFetcher.writeClustered(spark.read.parquet(p.warmPairsAdj),
+        p.warmPairsCAdj, clustering)
     } finally spark.stop()
     p
   }
@@ -201,7 +238,8 @@ object ScalingBench {
       val dir = Files.createTempDirectory(s"graft_scale_$cores").toString
       val c = Frontier.Config(dir, defaultTokens = tokens, saltBuckets = 16,
         seenCfg = UrlSeen.Config(buckets = 32, bitsPerBucket = 1 << 20, numHashes = 7))
-      val fetcher = new graft.frontier.AdjacencyFetcher(spark.read.parquet(in.pairsAdj))
+      val fetcher = graft.frontier.AdjacencyFetcher
+        .openClustered(spark, in.pairsCAdj, clustering)
       val priorities = spark.read.parquet(in.priorities)
       val budgets = spark.read.parquet(in.budgets)
       val robots = spark.emptyDataFrame
@@ -214,7 +252,8 @@ object ScalingBench {
       // warm before the measured window without paying full corpus scans
       // (standard JVM bench hygiene; both cluster sizes get the same
       // treatment)
-      val warmFetcher = new graft.frontier.AdjacencyFetcher(spark.read.parquet(in.warmPairsAdj))
+      val warmFetcher = graft.frontier.AdjacencyFetcher
+        .openClustered(spark, in.warmPairsCAdj, clustering)
       val warmDir = Files.createTempDirectory(s"graft_warm_$cores").toString
       val wc = c.copy(rootDir = warmDir)
       Frontier.init(spark, wc, seedDf.limit(20000), priorities, robots)

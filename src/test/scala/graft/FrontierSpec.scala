@@ -243,6 +243,18 @@ class FrontierSpec extends AnyFunSuite {
     assert(table == corpus)
     assert(adjacency == corpus)
     assert(corpus._1.nonEmpty)
+    // KEY-CLUSTERED adjacency (VERDICT r5 item 1): written bucket-clustered,
+    // fetched with the per-bucket envelope predicate pushed into the scan —
+    // the crawl's batches are small here, so the PRUNING path is the one
+    // being pinned byte-identical (a wrongly pruned row group would drop
+    // real outlinks and break this)
+    val cl = AdjacencyFetcher.Clustering(buckets = 8)
+    val cadjPath = Files.createTempDirectory("f_fcadj_tbl").toString
+    AdjacencyFetcher.writeClustered(
+      AdjacencyFetcher.groupPairs(fetcher.pairs), cadjPath, cl)
+    val clustered = runWith("f_fcadj",
+      AdjacencyFetcher.openClustered(spark, cadjPath, cl))
+    assert(clustered == corpus)
   }
 
   test("compaction resets the removed table and keeps resume byte-identical") {

@@ -15,14 +15,27 @@ import graft.sources.SynthDocs
   */
 object SparkEntry {
 
-  /** Flagship: docs → outlink extraction → host graph → domain fold →
-    * top-10 domains by indegree (SURVEY.md §7.5 — the minimum end-to-end
-    * slice through scan, explode, custom expressions, groupBy, dense-id
-    * assignment, joins, sort, limit).
+  /** Flagship: docs → outlink extraction (+ robots.txt `Sitemap:` links) →
+    * host graph → domain fold → top-10 domains by indegree (SURVEY.md §7.5
+    * — the minimum end-to-end slice through scan, explode, custom
+    * expressions, groupBy, dense-id assignment, joins, sort, limit).
+    *
+    * Sitemap links are a link class the reference's host graph ingests BY
+    * DEFAULT (`hostgraph_config.sh:19-21`,
+    * INCLUDE_ROBOTSTXT_SITEMAP_LINKS=true), so the flagship slice unions
+    * them in (VERDICT r5 item 5): every corpus host's synthetic robots.txt
+    * names one central sitemap host, whose domain therefore shows up in the
+    * top-10 by indegree (FlagshipSpec pins it).
     */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.frontier.Robots
     val docs = SynthDocs.docs(spark, 2000, 100).toDF()
-    val links = HostGraph.hostLinks(docs)
+    val robotsBodies = spark.range(100).select(
+      gf.reverse_host(SynthDocs.hostName(col("id").cast("int"))).as("rev_host"),
+      lit("User-agent: *\nSitemap: https://sitemaps.example.com/sitemap.xml")
+        .as("body"))
+    val sitemapLinks = Robots.sitemapHostLinks(Robots.parseFull(robotsBodies))
+    val links = HostGraph.hostLinks(docs).unionByName(sitemapLinks)
     val (hostV, hostE) = HostGraph.build(links)
     val dom = DomainGraph.fold(hostV, hostE)
     val indeg = dom.edges.groupBy("to_id").agg(count(lit(1)).as("indegree"))

@@ -30,6 +30,15 @@ object Verify {
       require(unknown.isEmpty,
         s"unknown query name(s): ${unknown.mkString(", ")} — " +
         s"known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+      // a valid name with no oracle entry would otherwise silently skip its
+      // DuckDB compare — the subset run would "pass" with no correctness
+      // gate for exactly the query under iteration (ADVICE r5)
+      val noOracle = ns.diff(SparkEntry.oracleSql.keySet)
+      if (noOracle.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: no oracleSql entry for " +
+          s"${noOracle.toSeq.sorted.mkString(", ")} — rows are dumped but " +
+          "the DuckDB compare CANNOT run for them (weaker rows-only check)")
     }
     val selected = names match {
       case Some(ns) => SparkEntry.queries.filter(kv => ns.contains(kv._1))

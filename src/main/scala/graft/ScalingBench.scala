@@ -64,18 +64,21 @@ object ScalingBench {
     def pairsAdj: String = pairs + "_adj"
     def warmPairsAdj: String = warmPairs + "_adj"
     /** KEY-CLUSTERED adjacency layout (VERDICT r5 item 1) — the layout the
-      * timed runs scan: hash-bucket column + within-file (bucket, key) sort
-      * + 16 MB row groups, written by `AdjacencyFetcher.writeClustered`.
+      * timed runs scan: RANGE-partitioned, globally key-sorted, 16 MB row
+      * groups, written by `AdjacencyFetcher.writeClustered` (range mode:
+      * SURT keys keep each host's rows contiguous, so budget-bounded
+      * batches push narrow per-interval predicates).
       */
-    def pairsCAdj: String = pairs + "_cadj"
-    def warmPairsCAdj: String = warmPairs + "_cadj"
+    def pairsCAdj: String = pairs + "_radj"
+    def warmPairsCAdj: String = warmPairs + "_radj"
   }
 
-  /** The bucket count the bench's clustered tables are written AND opened
-    * with — must agree or the pushed envelopes prune nothing (still exact).
+  /** The clustering the bench's link tables are written AND opened with —
+    * partition count must agree or the pushed envelopes prune nothing
+    * (still exact).
     */
   val clustering: graft.frontier.AdjacencyFetcher.Clustering =
-    graft.frontier.AdjacencyFetcher.Clustering(buckets = 64)
+    graft.frontier.AdjacencyFetcher.Clustering(buckets = 64, byRange = true)
 
   /** A Hadoop conf carrying the session-independent spark.hadoop.* settings
     * (what SparkHadoopUtil appends for a real session) — lets the layout

@@ -10,10 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.frontier.AdjacencyFetcher
 
-/** The key-clustered adjacency layout (VERDICT r5 item 1): the fetcher must
-  * stay EXACT under pruning (superset predicate + semi-join), and the pushed
-  * per-bucket key envelopes must physically SKIP row groups — the Spark
-  * analog of the reference's offset-indexed successor point reads
+/** The key-clustered adjacency layouts (VERDICT r5 item 1): the fetcher must
+  * stay EXACT under pruning (superset predicate + semi-join) in BOTH modes
+  * (range = globally key-sorted intervals; hash = seen-set-shaped bucket
+  * envelopes), and the pushed predicates must physically SKIP row groups —
+  * the Spark analog of the reference's offset-indexed successor point reads
   * (`Graph.java:160-166`), proven here by the scan node's output-row metric,
   * not by plan text.
   */
@@ -30,12 +31,15 @@ class ClusteredAdjSpec extends AnyFunSuite {
     array(concat(lit("https://t.example/a"), col("id")),
           concat(lit("https://t.example/b"), col("id"))).as("outlinks"))
 
-  private val cl = AdjacencyFetcher.Clustering(buckets = 16)
-  private lazy val cadjPath: String = {
+  private def clusteringOf(byRange: Boolean) =
+    AdjacencyFetcher.Clustering(buckets = 16, byRange = byRange)
+
+  private lazy val paths: Map[Boolean, String] = Seq(true, false).map { m =>
     val p = Files.createTempDirectory("graft_cadj_spec").toString + "/adj"
-    AdjacencyFetcher.writeClustered(adjFlat, p, cl, rowGroupBytes = 64L << 10)
-    p
-  }
+    AdjacencyFetcher.writeClustered(adjFlat, p, clusteringOf(m),
+      rowGroupBytes = 64L << 10)
+    m -> p
+  }.toMap
 
   private def batchOf(ids: Long*): DataFrame =
     ids.toDF("id").select(
@@ -68,39 +72,43 @@ class ClusteredAdjSpec extends AnyFunSuite {
     rows.sum
   }
 
-  test("pruned fetch is exact: parity with unclustered, missing keys, dups, empty") {
-    val plain = new AdjacencyFetcher(adjFlat)
-    val clustered = AdjacencyFetcher.openClustered(spark, cadjPath, cl)
-    // scattered keys + one key absent from adj + a duplicate selected key
-    val batch = batchOf(5L, 77777L, 123456L, 123456L, n + 50)
-    val exp = fetched(plain, batch)
-    assert(exp.map(_._1) == Set(
-      "https://example.org/k00000005", "https://example.org/k00077777",
-      "https://example.org/k00123456"))
-    assert(fetched(clustered, batch) == exp)
-    // dense fallback (hint above maxPruneKeys) and forced-skip config: same rows
-    assert(fetched(clustered, batch, hint = cl.maxPruneKeys + 1) == exp)
-    val noPrune = AdjacencyFetcher.openClustered(spark, cadjPath,
-      cl.copy(maxPruneKeys = 0))
-    assert(fetched(noPrune, batch) == exp)
-    // empty batch
-    assert(fetched(clustered, batchOf()) == Set.empty)
-  }
+  for (byRange <- Seq(true, false)) {
+    val mode = if (byRange) "range" else "hash"
+    val cl = clusteringOf(byRange)
 
-  test("pushed envelopes physically skip row groups (scan emits a fraction of the table)") {
-    val clustered = AdjacencyFetcher.openClustered(spark, cadjPath, cl)
-    val full = scanOutputRows(
-      new AdjacencyFetcher(spark.read.parquet(cadjPath)).fetch(batchOf(1L)))
-    assert(full == n) // unpruned semi-join scans every row
-    // adjacent keys: each bucket's envelope is a few-key range → the sorted
-    // layout skips nearly every row group
-    // 5 keys → ≤5 touched buckets → ~5 surviving row groups (~2k rows each
-    // at this block size): measured ~10.5k of 200k rows, a 19× skip
-    val tight = scanOutputRows(clustered.fetch(batchOf(100000L to 100004L: _*)))
-    assert(tight < n / 10, s"tight-envelope scan emitted $tight of $n rows")
-    // scattered keys across buckets: still at worst bucket-level pruning,
-    // plus page/row-group hits — must beat the full scan clearly
-    val scattered = scanOutputRows(clustered.fetch(batchOf(3L, 50000L, 199999L)))
-    assert(scattered < n / 2, s"scattered scan emitted $scattered of $n rows")
+    test(s"[$mode] pruned fetch is exact: parity with unclustered, missing keys, dups, empty") {
+      val plain = new AdjacencyFetcher(adjFlat)
+      val clustered = AdjacencyFetcher.openClustered(spark, paths(byRange), cl)
+      // scattered keys + one key absent from adj + a duplicate selected key
+      val batch = batchOf(5L, 77777L, 123456L, 123456L, n + 50)
+      val exp = fetched(plain, batch)
+      assert(exp.map(_._1) == Set(
+        "https://example.org/k00000005", "https://example.org/k00077777",
+        "https://example.org/k00123456"))
+      assert(fetched(clustered, batch) == exp)
+      // dense fallback (hint above maxPruneKeys) and forced-skip config: same rows
+      assert(fetched(clustered, batch, hint = cl.maxPruneKeys + 1) == exp)
+      val noPrune = AdjacencyFetcher.openClustered(spark, paths(byRange),
+        cl.copy(maxPruneKeys = 0))
+      assert(fetched(noPrune, batch) == exp)
+      // empty batch
+      assert(fetched(clustered, batchOf()) == Set.empty)
+    }
+
+    test(s"[$mode] pushed predicate physically skips row groups") {
+      val clustered = AdjacencyFetcher.openClustered(spark, paths(byRange), cl)
+      val full = scanOutputRows(
+        new AdjacencyFetcher(spark.read.parquet(paths(byRange))).fetch(batchOf(1L)))
+      assert(full == n) // unpruned semi-join scans every row
+      // adjacent keys: range mode collapses them to ONE pushed interval
+      // (~1-2 surviving row groups); hash mode still reaches ≤5 buckets'
+      // narrow envelopes (~5 groups, ~2k rows each at this block size)
+      val tight = scanOutputRows(clustered.fetch(batchOf(100000L to 100004L: _*)))
+      val bound = if (byRange) n / 40 else n / 10
+      assert(tight < bound, s"[$mode] tight scan emitted $tight of $n rows")
+      // scattered keys across the key space: still a clear skip vs full
+      val scattered = scanOutputRows(clustered.fetch(batchOf(3L, 50000L, 199999L)))
+      assert(scattered < n / 2, s"[$mode] scattered scan emitted $scattered of $n rows")
+    }
   }
 }

@@ -243,18 +243,20 @@ class FrontierSpec extends AnyFunSuite {
     assert(table == corpus)
     assert(adjacency == corpus)
     assert(corpus._1.nonEmpty)
-    // KEY-CLUSTERED adjacency (VERDICT r5 item 1): written bucket-clustered,
-    // fetched with the per-bucket envelope predicate pushed into the scan —
-    // the crawl's batches are small here, so the PRUNING path is the one
-    // being pinned byte-identical (a wrongly pruned row group would drop
-    // real outlinks and break this)
-    val cl = AdjacencyFetcher.Clustering(buckets = 8)
-    val cadjPath = Files.createTempDirectory("f_fcadj_tbl").toString
-    AdjacencyFetcher.writeClustered(
-      AdjacencyFetcher.groupPairs(fetcher.pairs), cadjPath, cl)
-    val clustered = runWith("f_fcadj",
-      AdjacencyFetcher.openClustered(spark, cadjPath, cl))
-    assert(clustered == corpus)
+    // KEY-CLUSTERED adjacency, BOTH modes (VERDICT r5 item 1): written
+    // clustered, fetched with the batch-derived predicate pushed into the
+    // scan — the crawl's batches are small here, so the PRUNING path is the
+    // one being pinned byte-identical (a wrongly pruned row group would
+    // drop real outlinks and break this)
+    for ((mode, byRange) <- Seq("range" -> true, "hash" -> false)) {
+      val cl = AdjacencyFetcher.Clustering(buckets = 8, byRange = byRange)
+      val cadjPath = Files.createTempDirectory(s"f_fcadj_tbl_$mode").toString
+      AdjacencyFetcher.writeClustered(
+        AdjacencyFetcher.groupPairs(fetcher.pairs), cadjPath, cl)
+      val clustered = runWith(s"f_fcadj_$mode",
+        AdjacencyFetcher.openClustered(spark, cadjPath, cl))
+      assert(clustered == corpus, s"clustered($mode) crawl diverged")
+    }
   }
 
   test("compaction resets the removed table and keeps resume byte-identical") {

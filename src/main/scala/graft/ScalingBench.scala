@@ -69,9 +69,18 @@ object ScalingBench {
       * SURT keys keep each host's rows contiguous, so budget-bounded
       * batches push narrow per-interval predicates).
       */
-    def pairsCAdj: String = pairs + "_radj"
-    def warmPairsCAdj: String = warmPairs + "_radj"
+    def pairsCAdj: String = pairs + "_radj" + codecSuffix
+    def warmPairsCAdj: String = warmPairs + "_radj" + codecSuffix
   }
+
+  /** Parquet codec for the clustered link tables (`SPARK_GRAFT_ADJ_CODEC`,
+    * default zstd — Spark 4's session default, what every committed record
+    * measures). Non-default codecs get their own layout dirs so A/B runs
+    * over one prepared input coexist; the timed scan is the decode path,
+    * so the codec is part of the measured layout, not a write detail.
+    */
+  val adjCodec: String = sys.env.getOrElse("SPARK_GRAFT_ADJ_CODEC", "zstd")
+  private def codecSuffix: String = if (adjCodec == "zstd") "" else "_" + adjCodec
 
   /** The clustering the bench's link tables are written AND opened with —
     * partition count must agree or the pushed envelopes prune nothing
@@ -123,10 +132,10 @@ object ScalingBench {
           .write.mode("overwrite").parquet(in.warmPairsAdj)
       if (missing(in.pairsCAdj))
         AdjacencyFetcher.writeClustered(spark.read.parquet(in.pairsAdj),
-          in.pairsCAdj, clustering)
+          in.pairsCAdj, clustering, codec = adjCodec)
       if (missing(in.warmPairsCAdj))
         AdjacencyFetcher.writeClustered(spark.read.parquet(in.warmPairsAdj),
-          in.warmPairsCAdj, clustering)
+          in.warmPairsCAdj, clustering, codec = adjCodec)
     } finally spark.stop()
   }
 
@@ -201,9 +210,9 @@ object ScalingBench {
       AdjacencyFetcher.groupPairs(spark.read.parquet(p.warmPairs))
         .write.parquet(p.warmPairsAdj)
       AdjacencyFetcher.writeClustered(spark.read.parquet(p.pairsAdj),
-        p.pairsCAdj, clustering)
+        p.pairsCAdj, clustering, codec = adjCodec)
       AdjacencyFetcher.writeClustered(spark.read.parquet(p.warmPairsAdj),
-        p.warmPairsCAdj, clustering)
+        p.warmPairsCAdj, clustering, codec = adjCodec)
     } finally spark.stop()
     p
   }
@@ -314,7 +323,7 @@ object ScalingBench {
     val sorted = pairs.sortBy(_._3)
     val (mlo, mhi, meff) = sorted(sorted.size / 2) // median-efficiency sample
     val json =
-      f"""{"metric":"urls_scheduled_per_sec","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"candidates":${mhi.candidates},"frontier_dedup_per_sec":${mhi.candPerSec}%.2f,"dedup_thr_lo":${mlo.candPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds}"""
+      f"""{"metric":"urls_scheduled_per_sec","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"candidates":${mhi.candidates},"frontier_dedup_per_sec":${mhi.candPerSec}%.2f,"dedup_thr_lo":${mlo.candPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds,"adj_codec":"$adjCodec"}"""
     println(json)
     // rows after the first sit on their own stripMargin lines — double the
     // leading pipe so one survives

@@ -259,13 +259,20 @@ object AdjacencyFetcher {
     * `rowGroupBytes` (parquet block size) is the skip granularity: smaller
     * row groups prune finer at the cost of more footer metadata — 16 MB ≈
     * 256 groups on the 4 GB bench table vs 32 at the 128 MB default.
+    * `codec` is the parquet compression; zstd (the default here AND Spark
+    * 4's session default — every BENCH record measures it) reads the
+    * fewest bytes on the bandwidth-bound dense scan; snappy trades ~40%
+    * more bytes for cheaper per-byte decode (measured worse on that scan,
+    * BENCH/BASELINE.md r6 codec A/B).
     */
   def writeClustered(adj: DataFrame, path: String,
                      clustering: Clustering = Clustering(),
-                     rowGroupBytes: Long = 16L << 20): Unit =
+                     rowGroupBytes: Long = 16L << 20,
+                     codec: String = "zstd"): Unit =
     clusterAdjacency(adj, clustering)
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
+      .option("compression", codec)
       .parquet(path)
 
   /** Open a table written by [[writeClustered]] as a pruning fetcher. */

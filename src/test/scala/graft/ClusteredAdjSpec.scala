@@ -72,6 +72,31 @@ class ClusteredAdjSpec extends AnyFunSuite {
     rows.sum
   }
 
+  test("codec arm (r6): a snappy-written layout is really snappy, stays exact, still prunes") {
+    val cl = clusteringOf(byRange = true)
+    val p = Files.createTempDirectory("graft_cadj_codec").toString + "/adj"
+    AdjacencyFetcher.writeClustered(adjFlat, p, cl, rowGroupBytes = 64L << 10,
+      codec = "snappy")
+    // the codec param must reach the parquet footer (Spark 4's session
+    // default is zstd — a silently-ignored option would still read fine)
+    val part = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.toString),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val codec = footer.getFooter.getBlocks.get(0).getColumns.get(0).getCodec
+      assert(codec == org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+    } finally footer.close()
+    val clustered = AdjacencyFetcher.openClustered(spark, p, cl)
+    val batch = batchOf(5L, 77777L, 123456L)
+    assert(fetched(clustered, batch) ==
+      fetched(new AdjacencyFetcher(adjFlat), batch))
+    val tight = scanOutputRows(clustered.fetch(batchOf(100000L to 100004L: _*)))
+    assert(tight < n / 40, s"snappy-arm tight scan emitted $tight of $n rows")
+  }
+
   for (byRange <- Seq(true, false)) {
     val mode = if (byRange) "range" else "hash"
     val cl = clusteringOf(byRange)

@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the emitted JSON/record lines are a parsing contract: pin number
+    // formatting to ROOT so a comma-decimal default locale cannot corrupt
+    // them (f"..%.2f" formats with the JVM default)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

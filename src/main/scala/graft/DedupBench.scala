@@ -92,6 +92,10 @@ object DedupBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the emitted JSON/record lines are a parsing contract: pin number
+    // formatting to ROOT so a comma-decimal default locale cannot corrupt
+    // them (f"..%.2f" formats with the JVM default)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "1000000").toLong
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_VECS", "200000").toLong
     val nQ = sys.env.getOrElse("SPARK_GRAFT_DEDUP_QUERIES", "2000").toLong

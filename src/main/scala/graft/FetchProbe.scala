@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,22 +24,17 @@ import graft.frontier.AdjacencyFetcher
 object FetchProbe {
 
   /** Sum of FileSourceScanExec (numOutputRows, scanTime ms) in the final
-    * adaptive plan, recursing through materialized query stages.
+    * adaptive plan, recursing through materialized query stages
+    * ([[PlanScan]] — the one shared walker).
     */
   def scanMetrics(df: DataFrame): (Long, Long) = {
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[(Long, Long)] =
-      p.collect {
-        case f: FileSourceScanExec =>
-          Seq((f.metrics.get("numOutputRows").map(_.value).getOrElse(0L),
-               f.metrics.get("scanTime").map(_.value).getOrElse(0L)))
-        case q: QueryStageExec => scans(q.plan)
-      }.flatten
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    var rows = 0L
+    var ms = 0L
+    PlanScan.foreachFileScan(df.queryExecution.executedPlan) { f =>
+      rows += f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      ms += f.metrics.get("scanTime").map(_.value).getOrElse(0L)
     }
-    val m = scans(plan)
-    (m.map(_._1).sum, m.map(_._2).sum)
+    (rows, ms)
   }
 
   final case class Run(wall: Double, rows: Long, scanRows: Long, scanMs: Long)
@@ -58,6 +51,10 @@ object FetchProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // the emitted JSON/record lines are a parsing contract: pin number
+    // formatting to ROOT so a comma-decimal default locale cannot corrupt
+    // them (f"..%.2f" formats with the JVM default)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val in = sys.env.getOrElse("SPARK_GRAFT_SCALE_INPUT",
       sys.error("set SPARK_GRAFT_SCALE_INPUT to a prepared ScalingBench dir"))
     // sweep of touched-host-cluster counts: inside the pruning guard the
@@ -73,7 +70,10 @@ object FetchProbe {
       shufflePartitions = 64, appName = "graft-fetch-probe")
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val path = s"$in/pairs_radj"
+      // the same codec-suffixed layout dir ScalingBench prepares and times
+      // (SPARK_GRAFT_ADJ_CODEC) — a probe of a different arm than the
+      // committed record would mislabel the evidence
+      val path = s"$in/pairs_radj${ScalingBench.codecSuffix}"
       val adj = spark.read.parquet(path)
       val clustered = AdjacencyFetcher.openClustered(spark, path, ScalingBench.clustering)
       val plain = new AdjacencyFetcher(spark.read.parquet(path))

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // the emitted JSON/record lines are a parsing contract: pin number
+    // formatting to ROOT so a comma-decimal default locale cannot corrupt
+    // them (f"..%.2f" formats with the JVM default)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val shapes = if (args.nonEmpty) args.toSeq
                  else Seq("1x4", "4x4", "1x8", "4x8", "local8", "local32")
     val results = shapes.map { shape =>

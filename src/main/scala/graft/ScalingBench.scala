@@ -80,7 +80,7 @@ object ScalingBench {
     * so the codec is part of the measured layout, not a write detail.
     */
   val adjCodec: String = sys.env.getOrElse("SPARK_GRAFT_ADJ_CODEC", "zstd")
-  private def codecSuffix: String = if (adjCodec == "zstd") "" else "_" + adjCodec
+  def codecSuffix: String = if (adjCodec == "zstd") "" else "_" + adjCodec
 
   /** The clustering the bench's link tables are written AND opened with —
     * partition count must agree or the pushed envelopes prune nothing
@@ -94,13 +94,20 @@ object ScalingBench {
     * probes run WITHOUT paying a full SparkSession start when every table
     * already exists (ADVICE r5).
     */
-  private def probeConf(): org.apache.hadoop.conf.Configuration = {
-    val hc = new org.apache.hadoop.conf.Configuration()
-    new org.apache.spark.SparkConf(true).getAll.foreach { case (k, v) =>
-      if (k.startsWith("spark.hadoop.")) hc.set(k.stripPrefix("spark.hadoop."), v)
-    }
-    hc
-  }
+  private def probeConf(): org.apache.hadoop.conf.Configuration =
+    // a live session's conf carries EVERY channel's spark.hadoop.* settings
+    // (builder extraConfigs included — credentials for non-local URIs, the
+    // r5-flagged case); the system-properties fallback only sees -D flags,
+    // which is all a cold bench JVM has anyway
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse {
+        val hc = new org.apache.hadoop.conf.Configuration()
+        new org.apache.spark.SparkConf(true).getAll.foreach { case (k, v) =>
+          if (k.startsWith("spark.hadoop.")) hc.set(k.stripPrefix("spark.hadoop."), v)
+        }
+        hc
+      }
 
   /** Materialize the adjacency-layout link tables beside existing flat ones
     * (idempotent; lets a pre-round-4 prepared input dir be reused; a
@@ -285,6 +292,10 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the emitted JSON/record lines are a parsing contract: pin number
+    // formatting to ROOT so a comma-decimal default locale cannot corrupt
+    // them (f"..%.2f" formats with the JVM default)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "8000000").toLong
     val nHosts = sys.env.getOrElse("SPARK_GRAFT_SCALE_HOSTS", "20000").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt

@@ -96,7 +96,10 @@ class AdjacencyFetcher(adj: DataFrame,
   override def fetch(selected: DataFrame): DataFrame = fetch(selected, -1L)
 
   override def fetch(selected: DataFrame, nSelected: Long): DataFrame = {
-    val sel = selected.select("key").distinct()
+    // a null key can never match the equality semi-join below — drop it up
+    // front so the driver-side interval/envelope derivations (getString,
+    // host split) never see one
+    val sel = selected.select("key").where(col("key").isNotNull).distinct()
     val pruned = clustering match {
       case None => adj
       case Some(cl) if nSelected >= 0 && nSelected > cl.maxPruneKeys =>
@@ -187,9 +190,17 @@ object AdjacencyFetcher {
     *    each bucket's envelope goes wide exactly when the batch is
     *    host-local. Kept for layout parity, tested equally.
     *
-    * `buckets` must match the value the table was written with
-    * ([[writeClustered]]) — a mismatch stays CORRECT (the predicate is a
-    * superset and the semi-join exact) but prunes nothing.
+    * `buckets`/`byRange` must match the values the table was written with
+    * ([[writeClustered]]). In RANGE mode a mismatch only loses pruning (the
+    * interval predicate never references the write-time partitioning). In
+    * HASH mode a bucket-count mismatch is NOT safe: the pushed
+    * `bucket === pmod(xxhash64(key), B)` terms use the reader's B against
+    * the writer's stored column, so rows silently fall outside every term
+    * and the fetch DROPS them. [[writeClustered]] therefore persists the
+    * clustering in a `_graft_clustering.json` sidecar and [[openClustered]]
+    * trusts the sidecar over the caller for `buckets`/`byRange` (caller
+    * thresholds kept); pre-sidecar tables must be opened with the written
+    * values.
     *
     * The thresholds encode when pruning can possibly pay: a batch of m
     * uniformly-spread keys over G row groups touches ~G·(1−e^(−m/G)) of
@@ -268,17 +279,51 @@ object AdjacencyFetcher {
   def writeClustered(adj: DataFrame, path: String,
                      clustering: Clustering = Clustering(),
                      rowGroupBytes: Long = 16L << 20,
-                     codec: String = "zstd"): Unit =
+                     codec: String = "zstd"): Unit = {
     clusterAdjacency(adj, clustering)
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .option("compression", codec)
       .parquet(path)
+    // self-describing layout: persist the clustering beside the data (the
+    // underscore prefix keeps it invisible to parquet listings) so open
+    // cannot silently mis-bucket (hash mode drops rows on a mismatch)
+    val hc = adj.sparkSession.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path, sidecarName)
+    val out = p.getFileSystem(hc).create(p, true)
+    try out.write(
+      s"""{"buckets":${clustering.buckets},"byRange":${clustering.byRange}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
 
-  /** Open a table written by [[writeClustered]] as a pruning fetcher. */
+  private val sidecarName = "_graft_clustering.json"
+
+  /** Open a table written by [[writeClustered]] as a pruning fetcher. The
+    * `_graft_clustering.json` sidecar, when present, overrides the caller's
+    * `buckets`/`byRange` (it records what the table IS); the caller's
+    * pruning thresholds are kept.
+    */
   def openClustered(spark: SparkSession, path: String,
-                    clustering: Clustering = Clustering()): AdjacencyFetcher =
-    new AdjacencyFetcher(spark.read.parquet(path), Some(clustering))
+                    clustering: Clustering = Clustering()): AdjacencyFetcher = {
+    val hc = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path, sidecarName)
+    val fs = p.getFileSystem(hc)
+    val cl =
+      if (!fs.exists(p)) clustering
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        def field(name: String): Option[String] =
+          ("\"" + name + "\"\\s*:\\s*([0-9a-z]+)").r
+            .findFirstMatchIn(txt).map(_.group(1))
+        clustering.copy(
+          buckets = field("buckets").map(_.toInt).getOrElse(clustering.buckets),
+          byRange = field("byRange").map(_.toBoolean).getOrElse(clustering.byRange))
+      }
+    new AdjacencyFetcher(spark.read.parquet(path), Some(cl))
+  }
 }
 
 /** The crawl frontier + fetch scheduler (north_rule core).
@@ -727,16 +772,11 @@ object Frontier {
     private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     @volatile private var attachedApp: String = null
 
-    private def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+    private def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+      graft.PlanScan.foreachFileScan(p) { f =>
         f.metrics.get("numOutputRows").foreach(m => if (seen.add(m.id)) rows.add(m.value))
         f.metrics.get("scanTime").foreach(m => if (seen.add(m.id)) ms.add(m.value))
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        walk(q.plan)
-      case _ => ()
-    }
+      }
 
     def ensure(spark: SparkSession): Unit = synchronized {
       val appId = spark.sparkContext.applicationId
@@ -914,14 +954,27 @@ object Frontier {
       if (useBarrier) candidates.unpersist(blocking = false)
       newRows.unpersist(blocking = false)
     }
+    // failure-path drains are BOUNDED: the original error must surface even
+    // if a future is wedged on the same degraded cluster that failed the
+    // commit (a still-running job's blocks then leak until the session ends
+    // — the lesser evil vs hanging the crawl uninterruptibly). An interrupt
+    // during a drain stops draining and keeps the thread's interrupt flag.
+    val drainPatience = scala.concurrent.duration.DurationInt(120).seconds
     def releasePrep(): Unit = fPrep.foreach { f =>
-      try Await.result(f, Duration.Inf).foreach { p =>
+      try Await.result(f, drainPatience).foreach { p =>
         p.blocks.unpersist(blocking = false)
         if (p.useBarrier) p.candidates.foreach(_.unpersist(blocking = false))
-      } catch { case _: Throwable => () }
+      } catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case _: Throwable => ()
+      }
     }
     def quietly(f: Future[_]): Unit =
-      try { Await.result(f, Duration.Inf); () } catch { case _: Throwable => () }
+      if (!Thread.currentThread().isInterrupted)
+        try { Await.result(f, drainPatience); () } catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Throwable => ()
+        }
     val (pSnap, rSnap, seenSnap, blooms, lSnap) =
       try {
         val (p, r) = Await.result(fPending, Duration.Inf)
@@ -940,10 +993,20 @@ object Frontier {
       st.logRows + nSelected)
     val counters = Map("selected" -> nSelected, "new_urls" -> nNew) ++
       (if (nCandidates >= 0) Map("candidates" -> nCandidates) else Map.empty)
-    writeMarker(spark, c, newState, counters)
-    // the pipelined selection still reads this round's caches — await it
-    // before releasing them (it is already materialized by its own count)
-    val prepNext = fPrep.flatMap(Await.result(_, Duration.Inf))
+    // the marker write and the prep await stay under the same drain guard as
+    // the commits: a marker failure (FS error at the serialization point)
+    // must not strand the speculative prep's blocks or this round's caches
+    val prepNext =
+      try {
+        writeMarker(spark, c, newState, counters)
+        // the pipelined selection still reads this round's caches — await it
+        // before releasing them (already materialized by its own count)
+        fPrep.flatMap(Await.result(_, Duration.Inf))
+      } catch { case t: Throwable =>
+        releasePrep()
+        releaseOwn()
+        throw t
+      }
     lap("prep-next")
     // round is durably committed — release its intermediates (the
     // pipelined next selection is already checkpoint-materialized, so

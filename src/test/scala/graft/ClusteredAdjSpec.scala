@@ -3,8 +3,6 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -59,17 +57,34 @@ class ClusteredAdjSpec extends AnyFunSuite {
     */
   private def scanOutputRows(df: DataFrame): Long = {
     df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p.collect {
-      case f: FileSourceScanExec => Seq(f.metrics("numOutputRows").value)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
-    }.flatten
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    var rows = List.empty[Long]
+    PlanScan.foreachFileScan(df.queryExecution.executedPlan) { f =>
+      rows ::= f.metrics("numOutputRows").value
     }
-    val rows = scans(plan)
     assert(rows.nonEmpty, "no FileSourceScanExec in the fetch plan")
     rows.sum
+  }
+
+  test("sidecar (r6): open with a WRONG bucket count is corrected — hash mode would drop rows") {
+    // the hash-mode predicate compares the stored bucket column against
+    // pmod(xxhash64(key), reader's B): with a mismatched B most keys match
+    // no OR term and the fetch silently loses their adjacency rows — the
+    // sidecar written by writeClustered must override the caller
+    val written = clusteringOf(byRange = false) // buckets = 16
+    val p = Files.createTempDirectory("graft_cadj_side").toString + "/adj"
+    AdjacencyFetcher.writeClustered(adjFlat, p, written, rowGroupBytes = 64L << 10)
+    val wrong = written.copy(buckets = 7)
+    val f = AdjacencyFetcher.openClustered(spark, p, wrong)
+    val batch = batchOf(5L, 77777L, 123456L)
+    assert(fetched(f, batch) == fetched(new AdjacencyFetcher(adjFlat), batch))
+    // and a null key in the batch is ignored, not an NPE (range mode
+    // collects keys driver-side)
+    val range = AdjacencyFetcher.openClustered(spark, paths(true), clusteringOf(true))
+    val withNull = batchOf(5L).unionByName(
+      Seq((null: String, "u")).toDF("key", "url"))
+    assert(fetched(range, withNull) ==
+      Set(("https://example.org/k00000005", "https://t.example/a5"),
+          ("https://example.org/k00000005", "https://t.example/b5")))
   }
 
   test("codec arm (r6): a snappy-written layout is really snappy, stays exact, still prunes") {

@@ -11,8 +11,10 @@ import graft.sources.SynthDocs
 
 /** The north_rule scaling criterion, evidenced in-sandbox with SEPARATE
   * EXECUTOR JVMs: the IDENTICAL frontier job on the IDENTICAL input at two
-  * cluster sizes — `local-cluster[1,8,m]` (N = 1 executor × 8 cores) vs
-  * `local-cluster[4,8,m]` (4N = 4 executor JVMs × 8 cores, each its own heap).
+  * cluster sizes — `local-cluster[1,c,m]` (N = 1 executor × c cores) vs
+  * `local-cluster[4,c,m]` (4N = 4 executor JVMs × c cores, each its own
+  * heap), with `c = SPARK_GRAFT_SCALE_CORES_PER_EXEC` (4 = the committed
+  * headline shape fixed in round 2; 1 = the amortized-regime support).
   * This is the truest in-sandbox model of the reference's multi-executor
   * deployment (`hostgraph_config.sh:84-85` scales executor COUNT, not
   * threads-per-heap): no real cluster exists here, but local-cluster mode

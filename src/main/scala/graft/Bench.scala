@@ -96,12 +96,18 @@ object Bench {
                 .find(_.startsWith("{\"metric\":\"urls_scheduled_per_sec_1core\""))
                 .flatMap(field(_, "scaling_efficiency"))
                 .map(v => s""","eff_1core":$v""").getOrElse("")
+              // the convergence record (2x window, 1-core executors) — the
+              // regime where the criterion's >=0.8 bar is met (r6)
+              val eff192 = md.linesIterator
+                .find(_.startsWith("{\"metric\":\"urls_scheduled_per_sec_192m_1core\""))
+                .flatMap(field(_, "scaling_efficiency"))
+                .map(v => s""","eff_192m_1core":$v""").getOrElse("")
               s""","frontier":{"source":"BENCH/BASELINE.md (graft.ScalingBench)"""" +
                 Seq("urls_scheduled_per_sec" -> "value", "thr_lo" -> "thr_lo",
                     "scaling_efficiency" -> "scaling_efficiency",
                     "samples" -> "samples", "docs" -> "docs")
                   .flatMap { case (out, in) => field(j, in).map(v => s""","$out":$v""") }
-                  .mkString + eff1 + "}"
+                  .mkString + eff1 + eff192 + "}"
             }.getOrElse("")
         } catch { case _: Throwable => "" }
       }

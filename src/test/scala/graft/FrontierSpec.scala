@@ -172,6 +172,47 @@ class FrontierSpec extends AnyFunSuite {
     assert(seenOf(killed) == seenOf(full))
   }
 
+  test("a mid-crawl commit failure surfaces, drains all caches, resumes byte-identically") {
+    val full = Files.createTempDirectory("f_drain_full").toString
+    runAll(full, rounds = 4)
+
+    // obstruct round-1's marker path with a NON-EMPTY directory: the atomic
+    // marker commit (delete + rename at the serialization point) then fails
+    // AFTER the round's three state commits landed and WHILE the speculative
+    // round-2 prep is still in flight — the exact ADVICE-r5 failure shape
+    // the drain guards in runRound exist for
+    val failed = Files.createTempDirectory("f_drain_fail").toString
+    val c = cfg(failed)
+    Frontier.init(spark, c, seeds, priorities, robots)
+    val obstruction = new java.io.File(s"$failed/markers/round-1")
+    assert(obstruction.mkdirs())
+    Files.writeString(obstruction.toPath.resolve("occupied"), "x")
+
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[Exception] {
+      Frontier.run(spark, c, fetcher, 4, budgets, robots, priorities)
+    }
+    // the failure path must release EVERYTHING the round pinned: its own
+    // selected-batch checkpoint blocks + newRows cache AND the speculative
+    // prep's checkpoint blocks — a leak here compounds over a
+    // thousands-of-rounds crawl that retries failed rounds
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked by the failure path: $leaked")
+    // round 0 committed durably before the failure; round 1 must not have
+    assert(Frontier.lastCommittedAt(spark, c, 0).isDefined)
+
+    // operator clears the FS obstruction → resume replays round 1 from the
+    // round-0 marker and the crawl converges on the uninterrupted run
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(obstruction)
+    Frontier.run(spark, c, fetcher, 4, budgets, robots, priorities)
+    assert(logOf(failed) == logOf(full))
+    assert(seenOf(failed) == seenOf(full))
+  }
+
   test("per-round markers carry lineage counters") {
     val dir = Files.createTempDirectory("frontierC").toString
     runAll(dir, rounds = 2)

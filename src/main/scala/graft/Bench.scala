@@ -129,10 +129,23 @@ object Bench {
           .mkString + "}"
     }.getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling$dedup}"""
-    // full-fidelity record (unrounded walls + the complete committed
-    // frontier/dedup JSON) for humans and the repo history
+    // full-fidelity side file: unrounded walls PLUS the complete committed
+    // record lines verbatim (the printed line only carries summaries, and a
+    // later ScalingBench/DedupBench run rewrites the source .md files — the
+    // side file keeps the records this bench actually reported against)
+    val sideRecords = {
+      def rec(file: String, prefix: String, key: String): String =
+        try java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+          .linesIterator.find(_.startsWith(prefix))
+          .map(j => s""","$key":$j""").getOrElse("")
+        catch { case _: Throwable => "" }
+      rec("BENCH/BASELINE.md", "{\"metric\":\"urls_scheduled_per_sec\"", "frontier_record") +
+        rec("BENCH/BASELINE.md", "{\"metric\":\"urls_scheduled_per_sec_1core\"", "frontier_record_1core") +
+        rec("BENCH/BASELINE.md", "{\"metric\":\"urls_scheduled_per_sec_192m_1core\"", "frontier_record_192m_1core") +
+        rec("BENCH/DEDUP.md", "{\"metric\":\"dedup_docs_per_sec", "dedup_record")
+    }
     try {
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$scaling$dedup}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$scaling$dedup$sideRecords}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_bench_run.json"), full + "\n")
     } catch { case _: Throwable => () }

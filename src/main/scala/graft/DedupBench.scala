@@ -124,8 +124,15 @@ object DedupBench {
         "hashed" -> (() => Dedup.minhashDedupHashed(docs, "doc_id", "text", threshold = 0.8)),
         "lsh" -> (() => Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
           k = 10, planes = 8, dims = 64, maxHamming = 2)))
-      val stages = stageDefs.map { case (name, mk) =>
-        val runs = (1 to samples).map(_ => time(mk()))
+      // samples are taken ROUND-ROBIN across stages (sample-major), not
+      // stage-major: a minutes-scale host throttle then lands on at most
+      // one sample of EACH stage — which the median rejects — instead of
+      // swallowing every sample of one stage (observed on this box: lsh
+      // walls [57,57,15] from exactly such a throttle window, r6 notes)
+      val runsByStage: Seq[Seq[Timed]] =
+        (1 to samples).map(_ => stageDefs.map { case (_, mk) => time(mk()) })
+          .transpose
+      val stages = stageDefs.zip(runsByStage).map { case ((name, _), runs) =>
         require(runs.map(_.rows).distinct.size == 1,
           s"determinism violation in $name: rows ${runs.map(_.rows)}")
         Stage(name, runs.map(_.wallSec), runs.head.rows)
@@ -145,7 +152,9 @@ object DedupBench {
            |copies of one text, exercising the exact-collapse guard at scale)
            |and $nVecs × 64-dim float vectors, $nQ ANN queries. local[32].
            |
-           |Protocol: $samples independent samples per stage, MEDIAN wall is
+           |Protocol: $samples independent samples per stage, taken
+           |round-robin across stages (a transient host throttle lands on at
+           |most one sample of each stage), MEDIAN wall is
            |the record; per-sample walls + a same-session pure-CPU probe
            |(host-load proxy, ~2 s quiet) are committed beside it so a wall
            |shift on untouched code is attributable to the box. Output rows

@@ -335,8 +335,16 @@ object ScalingBench {
     }
     val sorted = pairs.sortBy(_._3)
     val (mlo, mhi, meff) = sorted(sorted.size / 2) // median-efficiency sample
+    // the metric NAME carries the protocol shape: re-running the 1-core or
+    // 192M convergence protocols must reproduce the exact metric names the
+    // committed multi-record file uses (and graft.Bench greps for) — not
+    // relabel a different shape's record as the committed one
+    val metric = "urls_scheduled_per_sec" +
+      (if (cpe == 1 && nDocs >= 192000000L) "_192m_1core"
+       else if (cpe == 1) "_1core"
+       else "")
     val json =
-      f"""{"metric":"urls_scheduled_per_sec","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"candidates":${mhi.candidates},"frontier_dedup_per_sec":${mhi.candPerSec}%.2f,"dedup_thr_lo":${mlo.candPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds,"adj_codec":"$adjCodec"}"""
+      f"""{"metric":"$metric","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"candidates":${mhi.candidates},"frontier_dedup_per_sec":${mhi.candPerSec}%.2f,"dedup_thr_lo":${mlo.candPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds,"adj_codec":"$adjCodec"}"""
     println(json)
     // rows after the first sit on their own stripMargin lines — double the
     // leading pipe so one survives
@@ -380,7 +388,23 @@ object ScalingBench {
          |the record is embedded in the Bench JSON as the `dedup` block.
          |""".stripMargin
     val out = java.nio.file.Paths.get("BENCH/BASELINE.md")
+    // the committed file is MULTI-record (one JSON line per protocol shape,
+    // composed across rounds): a re-run of one shape replaces that shape's
+    // record but must carry the other shapes' lines forward — they are the
+    // evidence graft.Bench surfaces as eff_1core / eff_192m_1core (the
+    // analysis prose around them is still hand-written; restore from git
+    // if it matters)
+    val carried =
+      try java.nio.file.Files.readString(out).linesIterator.filter { l =>
+        l.startsWith("{\"metric\":\"urls_scheduled_per_sec") &&
+          !l.startsWith("{\"metric\":\"" + metric + "\"")
+      }.toSeq
+      catch { case _: Throwable => Seq.empty }
+    val carriedMd =
+      if (carried.isEmpty) ""
+      else "\n## Carried records (other protocol shapes, previous file)\n\n" +
+        carried.map(l => "```json\n" + l + "\n```\n").mkString("\n")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, md)
+    java.nio.file.Files.writeString(out, md + carriedMd)
   }
 }

@@ -119,9 +119,13 @@ class AdjacencyFetcher(adj: DataFrame,
         // reads everything anyway and pays the filter on every row
         // (measured 10× SLOWER than the plain scan at 200 clusters on the
         // 96M bench table) — exactly the regime the guard excludes.
-        val keys = sel.limit(cl.maxPruneKeys.toInt + 1).collect().map(_.getString(0))
+        // clamp before toInt: a caller "disabling" the cap with a huge Long
+        // (e.g. Long.MaxValue) must degrade to no-limit semantics, not
+        // overflow into limit(negative) and fail every fetch
+        val cap = math.min(cl.maxPruneKeys, (Int.MaxValue - 1).toLong).toInt
+        val keys = sel.limit(cap + 1).collect().map(_.getString(0))
         if (keys.isEmpty) adj.filter(lit(false))
-        else if (keys.length > cl.maxPruneKeys) adj
+        else if (keys.length > cap) adj
         else {
           val byHost = keys.groupBy { k =>
             val i = k.indexOf(')'); if (i < 0) k else k.substring(0, i)
@@ -199,8 +203,9 @@ object AdjacencyFetcher {
     * and the fetch DROPS them. [[writeClustered]] therefore persists the
     * clustering in a `_graft_clustering.json` sidecar and [[openClustered]]
     * trusts the sidecar over the caller for `buckets`/`byRange` (caller
-    * thresholds kept); pre-sidecar tables must be opened with the written
-    * values.
+    * thresholds kept) — and fails loudly when the sidecar is missing;
+    * tables written by other pipelines must be opened by constructing the
+    * fetcher directly with their known layout.
     *
     * The thresholds encode when pruning can possibly pay: a batch of m
     * uniformly-spread keys over G row groups touches ~G·(1−e^(−m/G)) of
@@ -287,22 +292,35 @@ object AdjacencyFetcher {
       .parquet(path)
     // self-describing layout: persist the clustering beside the data (the
     // underscore prefix keeps it invisible to parquet listings) so open
-    // cannot silently mis-bucket (hash mode drops rows on a mismatch)
+    // cannot silently mis-bucket (hash mode drops rows on a mismatch).
+    // Written tmp-then-rename: a crash between the parquet commit and the
+    // sidecar must leave NO sidecar (openClustered then fails loudly), never
+    // a torn one that parses to the wrong layout.
     val hc = adj.sparkSession.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path, sidecarName)
-    val out = p.getFileSystem(hc).create(p, true)
+    val fs = p.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(path, sidecarName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(
       s"""{"buckets":${clustering.buckets},"byRange":${clustering.byRange}}"""
         .getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   private val sidecarName = "_graft_clustering.json"
 
   /** Open a table written by [[writeClustered]] as a pruning fetcher. The
-    * `_graft_clustering.json` sidecar, when present, overrides the caller's
+    * `_graft_clustering.json` sidecar overrides the caller's
     * `buckets`/`byRange` (it records what the table IS); the caller's
-    * pruning thresholds are kept.
+    * pruning thresholds are kept. A MISSING sidecar fails loudly: trusting
+    * the caller instead would re-open the silent hash-mode row-drop hole
+    * the sidecar exists to close (a bucket-count mismatch prunes rows the
+    * semi-join needs). A table that genuinely has no sidecar (written by
+    * some other pipeline) must be opened explicitly with
+    * `new AdjacencyFetcher(spark.read.parquet(path), Some(clustering))`,
+    * asserting its layout at the call site.
     */
   def openClustered(spark: SparkSession, path: String,
                     clustering: Clustering = Clustering()): AdjacencyFetcher = {
@@ -310,7 +328,13 @@ object AdjacencyFetcher {
     val p = new org.apache.hadoop.fs.Path(path, sidecarName)
     val fs = p.getFileSystem(hc)
     val cl =
-      if (!fs.exists(p)) clustering
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"$path has no $sidecarName sidecar — not written by " +
+            "AdjacencyFetcher.writeClustered (or its write was interrupted " +
+            "after the parquet commit). Rewrite it, or open it with an " +
+            "explicit `new AdjacencyFetcher(df, Some(clustering))` if the " +
+            "layout is known out-of-band.")
       else {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -781,6 +805,10 @@ object Frontier {
     def ensure(spark: SparkSession): Unit = synchronized {
       val appId = spark.sparkContext.applicationId
       if (attachedApp != appId) {
+        // new application in the same JVM (sequential test sessions): drop
+        // the previous app's accumulated totals and metric-id set so laps
+        // never difference against cross-app sums and `seen` stays bounded
+        rows.reset(); ms.reset(); seen.clear()
         spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(fn: String,
               qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =

@@ -87,6 +87,30 @@ class ClusteredAdjSpec extends AnyFunSuite {
           ("https://example.org/k00000005", "https://t.example/b5")))
   }
 
+  test("a missing sidecar fails open loudly; a huge maxPruneKeys clamps instead of overflowing") {
+    // an interrupted writeClustered (parquet committed, sidecar never
+    // renamed in) must NOT fall back to trusting the caller's layout — in
+    // hash mode a mismatched bucket count silently drops adjacency rows
+    val p = Files.createTempDirectory("graft_cadj_nosc").toString + "/adj"
+    AdjacencyFetcher.writeClustered(adjFlat, p, clusteringOf(byRange = true),
+      rowGroupBytes = 64L << 10)
+    assert(new java.io.File(p, "_graft_clustering.json").delete())
+    val err = intercept[IllegalStateException] {
+      AdjacencyFetcher.openClustered(spark, p, clusteringOf(byRange = true))
+    }
+    assert(err.getMessage.contains("_graft_clustering.json"))
+    // the documented escape hatch for layouts known out-of-band still works
+    val explicit = new AdjacencyFetcher(spark.read.parquet(p),
+      Some(clusteringOf(byRange = true)))
+    val batch = batchOf(5L, 77777L)
+    assert(fetched(explicit, batch) == fetched(new AdjacencyFetcher(adjFlat), batch))
+    // "disable the cap" the natural way: a Long threshold past Int range
+    // must degrade to unlimited-collect semantics, not limit(negative)
+    val uncapped = AdjacencyFetcher.openClustered(spark, paths(true),
+      clusteringOf(byRange = true).copy(maxPruneKeys = Long.MaxValue))
+    assert(fetched(uncapped, batch) == fetched(new AdjacencyFetcher(adjFlat), batch))
+  }
+
   test("codec arm (r6): a snappy-written layout is really snappy, stays exact, still prunes") {
     val cl = clusteringOf(byRange = true)
     val p = Files.createTempDirectory("graft_cadj_codec").toString + "/adj"

@@ -127,6 +127,15 @@ object ScalingBench {
       val path = new Path(p, "_SUCCESS")
       !path.getFileSystem(hc).exists(path)
     }
+    // clustered tables written by pre-sidecar round-6 code: _SUCCESS exists
+    // but the clustering sidecar is missing. This main IS their writer (the
+    // layout is `clustering` by construction), so repair the sidecar in
+    // place — a pure FS op, no session — instead of tripping openClustered's
+    // fail-loud contract or rewriting gigabytes of parquet
+    Seq(in.pairsCAdj, in.warmPairsCAdj).foreach { p =>
+      if (!missing(p) && !AdjacencyFetcher.hasSidecar(hc, p))
+        AdjacencyFetcher.writeSidecar(hc, p, clustering)
+    }
     val needed = Seq(in.pairsAdj, in.warmPairsAdj, in.pairsCAdj, in.warmPairsCAdj)
       .exists(missing)
     if (!needed) return

@@ -292,11 +292,21 @@ object AdjacencyFetcher {
       .parquet(path)
     // self-describing layout: persist the clustering beside the data (the
     // underscore prefix keeps it invisible to parquet listings) so open
-    // cannot silently mis-bucket (hash mode drops rows on a mismatch).
-    // Written tmp-then-rename: a crash between the parquet commit and the
-    // sidecar must leave NO sidecar (openClustered then fails loudly), never
-    // a torn one that parses to the wrong layout.
-    val hc = adj.sparkSession.sessionState.newHadoopConf()
+    // cannot silently mis-bucket (hash mode drops rows on a mismatch)
+    writeSidecar(adj.sparkSession.sessionState.newHadoopConf(), path, clustering)
+  }
+
+  /** Write (or repair) the clustering sidecar of a table at `path` whose
+    * physical layout is KNOWN to be `clustering` — called by
+    * [[writeClustered]] itself, and by table owners backfilling tables they
+    * wrote before the sidecar existed (asserting a wrong layout here
+    * re-opens the hash-mode row-drop hole, so only the writer may call it).
+    * Written tmp-then-rename: a crash mid-write leaves NO sidecar
+    * ([[openClustered]] then fails loudly), never a torn one that parses to
+    * the wrong layout.
+    */
+  def writeSidecar(hc: org.apache.hadoop.conf.Configuration, path: String,
+                   clustering: Clustering): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, sidecarName)
     val fs = p.getFileSystem(hc)
     val tmp = new org.apache.hadoop.fs.Path(path, sidecarName + ".tmp")
@@ -307,6 +317,12 @@ object AdjacencyFetcher {
     finally out.close()
     fs.delete(p, false)
     fs.rename(tmp, p)
+  }
+
+  /** Whether the table at `path` carries a clustering sidecar. */
+  def hasSidecar(hc: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, sidecarName)
+    p.getFileSystem(hc).exists(p)
   }
 
   private val sidecarName = "_graft_clustering.json"

@@ -271,4 +271,42 @@ object Dedup {
       .distinct()
     jaccardVerify(candidates, sh.withColumnRenamed("tok", "tid"), threshold)
   }
+
+  /** Collapse near-dup PAIRS into duplicate GROUPS and elect one canonical
+    * survivor per group — the step a dedup pipeline runs after any pair
+    * producer ([[minhashDedup]], [[ngramJaccardPairs]], cosine pairs) to
+    * actually drop documents. Near-duplication is not transitive, but
+    * production dedup treats dup clusters as equivalence classes (ccnet /
+    * Gopher / RefinedWeb all dedup by the connected component of the pair
+    * graph), so: weakly connected components over the undirected pair
+    * graph, canonical = smallest doc id in the component.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, canonical_id) for every
+    * doc APPEARING IN A PAIR — docs with no duplicates are implicitly their
+    * own canonical, keeping the output O(|dup docs|), not O(corpus) (at
+    * 100 TB the keep-map is a small broadcast-able side table; the corpus
+    * is filtered with one anti-join on `doc_id <> canonical_id`). The
+    * component iteration count is the dup-cluster diameter (near-dup
+    * families are shallow), and each iteration is one shuffle of the
+    * pair-graph — O(|pairs|), never the corpus.
+    */
+  def dupGroups(pairs: DataFrame,
+                aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("from_id"), col(bCol).as("to_id"))
+    val vertices = edges.select(col("from_id").as("id"))
+      .union(edges.select(col("to_id").as("id"))).distinct()
+    graft.operators.ConnectedComponents.weak(vertices, edges)
+      .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+  }
+
+  /** The corpus with every non-canonical duplicate dropped: anti-join on
+    * [[dupGroups]]' keep-map (pairs from any producer). One small-side
+    * join against the corpus — the 100 TB dedup shape.
+    */
+  def dropDuplicates(docs: DataFrame, idCol: String,
+                     groups: DataFrame): DataFrame =
+    docs.join(
+      groups.filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -41,6 +41,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(j - 0.888889) < 1e-6)
   }
 
+  test("dupGroups folds pairs into components; dropDuplicates keeps canonicals + singletons") {
+    // transitive chain 1-2-3 (near-dup is not transitive, equivalence-class
+    // semantics ARE the contract), separate pair 7-8, docs 4/9 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val groups = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val corpus = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).map(i => (i, s"t$i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropDuplicates(corpus, "doc_id", Dedup.dupGroups(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // canonicals survive, non-canonical members drop, unpaired docs stay
+    assert(kept == Set(1L, 4L, 7L, 9L))
+    // end-to-end with a real pair producer: the fixture's exact pair (0,1)
+    // plus its near pair (0,2) collapse to one group rooted at 0
+    val surv = fixture.groupBy($"text")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_a"))
+    val exactPairs = fixture.join(surv, Seq("text"))
+      .filter($"doc_id" =!= $"doc_a").select($"doc_a", $"doc_id".as("doc_b"))
+    val all = exactPairs.unionByName(
+      Dedup.minhashDedup(fixture, "doc_id", "text", threshold = 0.5)
+        .select($"doc_a", $"doc_b"))
+    val g2 = Dedup.dupGroups(all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    assert(Dedup.dropDuplicates(fixture, "doc_id", Dedup.dupGroups(all))
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 3L, 4L))
+  }
+
   test("minhash duplicate guard: k identical docs yield O(1) candidates, not O(k^2)") {
     // 60 byte-identical docs + 2 distinct ones: without the exact-first
     // collapse the band self-join would emit 60*59/2 pairs per band

@@ -285,17 +285,29 @@ object Dedup {
     * doc APPEARING IN A PAIR — docs with no duplicates are implicitly their
     * own canonical, keeping the output O(|dup docs|), not O(corpus) (at
     * 100 TB the keep-map is a small broadcast-able side table; the corpus
-    * is filtered with one anti-join on `doc_id <> canonical_id`). The
-    * component iteration count is the dup-cluster diameter (near-dup
-    * families are shallow), and each iteration is one shuffle of the
-    * pair-graph — O(|pairs|), never the corpus.
+    * is filtered with one anti-join on `doc_id <> canonical_id`). Uses the
+    * large-star/small-star formulation: template-heavy corpora chain
+    * near-dups into LONG paths, and star converges in O(log diameter)
+    * rounds where min-label propagation pays the full diameter — each
+    * round shuffles only the pair-graph, never the corpus.
     */
   def dupGroups(pairs: DataFrame,
                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("from_id"), col(bCol).as("to_id"))
+    // materialize the pair set once as a lineage-free leaf: it is small by
+    // construction (O(|dup docs|)) and feeds BOTH the vertex derivation and
+    // the component iterations — without this the whole upstream pair
+    // producer (the full minhash chain) re-executes per consumer, and the
+    // shared subplan between the vertex union and star's self-unions trips
+    // Spark 4.1's UnionBase constraint rewrite ("key not found" at
+    // analysis). Blocks are reclaimed by the ContextCleaner once the
+    // returned keep-map is dropped (same contract PageRank documents).
+    val edges0 = pairs.select(col(aCol).as("from_id"), col(bCol).as("to_id"))
+    val rdd = edges0.rdd
+    rdd.localCheckpoint()
+    val edges = pairs.sparkSession.createDataFrame(rdd, edges0.schema)
     val vertices = edges.select(col("from_id").as("id"))
       .union(edges.select(col("to_id").as("id"))).distinct()
-    graft.operators.ConnectedComponents.weak(vertices, edges)
+    graft.operators.ConnectedComponents.star(vertices, edges)
       .select(col("id").as("doc_id"), col("component").as("canonical_id"))
   }
 

@@ -50,6 +50,14 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    // propagation distance is the component diameter: a graph deeper than
+    // maxIter would otherwise return plausible-looking but WRONG labels —
+    // fail like [[star]] does (which converges in O(log n) rounds and is
+    // the right variant for deep graphs) rather than hand them back
+    require(changed == 0,
+      s"min-label WCC did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter) — raise maxIter or use " +
+        "ConnectedComponents.star")
     labels
   }
 

@@ -49,6 +49,16 @@ class StarWccSpec extends AnyFunSuite {
     assert(got.length == n && got.forall(_._2 == 0L))
   }
 
+  test("weak fails loudly past its iteration cap instead of returning wrong labels") {
+    val n = 30
+    val nodes = (0L until n.toLong).toDF("id")
+    val chain = (1L until n.toLong).map(i => (i, i - 1)).toDF("from_id", "to_id")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.weak(nodes, chain, maxIter = 5)
+    }
+    assert(e.getMessage.contains("ConnectedComponents.star"))
+  }
+
   test("isolated vertices are their own component; empty edge set") {
     val nodes = Seq(3L, 5L, 9L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("from_id", "to_id")

@@ -63,6 +63,26 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"))
       Dedup.dupGroups(exactPairs.unionByName(nearPairs)).orderBy("doc_id")
     }),
+    // the end-to-end training-data slice the family exists for: drop every
+    // non-canonical duplicate (exact ∪ minhash groups via dupGroups), gate
+    // on quality, report the surviving docs with their token counts — each
+    // stage is oracle-checked alone above/below; this pins the COMPOSITION
+    "q_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val surv = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_a"))
+      val exactPairs = d.join(surv, Seq("text"))
+        .filter(col("doc_id") =!= col("doc_a"))
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
+      val nearPairs = Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"))
+      val groups = Dedup.dupGroups(exactPairs.unionByName(nearPairs))
+      Dedup.dropDuplicates(d, "doc_id", groups)
+        .filter(TextQuality.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"),
+          TextQuality.tokenCount(col("text")).as("wc"),
+          TextQuality.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
     // SimHash signatures
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(Dedup.docTokenIds(docs(s, dir), "doc_id", "text"))
@@ -324,6 +344,63 @@ object TextQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b)
          |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          |FROM reach GROUP BY a ORDER BY 1""".stripMargin,
+    "q_clean_corpus" ->
+      s"""WITH RECURSIVE surv AS (SELECT min(doc_id) AS doc, text
+         |  FROM documents WHERE doc_id < 500 GROUP BY text),
+         |stoks AS (SELECT doc, unnest(string_split(lower(text), ' ')) AS tok FROM surv),
+         |sdt AS (SELECT DISTINCT doc, tok FROM stoks WHERE tok <> ''),
+         |sv AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+         |       FROM (SELECT DISTINCT tok FROM sdt)),
+         |ids AS (SELECT doc, tid FROM sdt JOIN sv USING (tok)),
+         |sig AS (SELECT doc,
+         |  min((1103515245*tid + 12345) % 2147483647) AS h0,
+         |  min((1299709*tid + 7919) % 2147483647) AS h1,
+         |  min((104729*tid + 1117) % 2147483647) AS h2,
+         |  min((15485863*tid + 104723) % 2147483647) AS h3,
+         |  min((32452843*tid + 5581) % 2147483647) AS h4,
+         |  min((49979687*tid + 860033) % 2147483647) AS h5,
+         |  min((67867967*tid + 919) % 2147483647) AS h6,
+         |  min((86028121*tid + 7757) % 2147483647) AS h7
+         |FROM ids GROUP BY doc),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc < b.doc AND (
+         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+         |sz AS (SELECT doc, count(*) AS sz FROM ids GROUP BY doc),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN ids x ON x.doc = c.doc_a
+         |  JOIN ids y ON y.doc = c.doc_b AND y.tid = x.tid GROUP BY 1, 2),
+         |near AS (SELECT i.doc_a, i.doc_b
+         |  FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
+         |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9),
+         |ex AS (SELECT s.doc AS doc_a, d.doc_id AS doc_b
+         |  FROM documents d JOIN surv s ON s.text = d.text AND d.doc_id <> s.doc
+         |  WHERE d.doc_id < 500),
+         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM near
+         |       UNION SELECT doc_a, doc_b FROM ex),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         |dropped AS (SELECT a AS doc_id FROM reach
+         |            GROUP BY a HAVING a <> least(a, min(b))),
+         |kept AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 500 AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |q AS (SELECT doc_id,
+         |  len(string_split(trim(text), ' ')) AS wc,
+         |  round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+         |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct,
+         |  round(length(replace(trim(text), ' ', ''))
+         |    / greatest(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 1.0), 6) AS awl
+         |  FROM kept)
+         |SELECT doc_id, wc,
+         |  round(least(CAST(wc AS DOUBLE) / 100.0, 1.0) * (1.0 - punct) *
+         |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS score
+         |FROM q
+         |WHERE round(least(CAST(wc AS DOUBLE) / 100.0, 1.0) * (1.0 - punct) *
+         |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) >= 0.5
+         |ORDER BY doc_id""".stripMargin,
     "q_minhash_hashed" ->
       """WITH surv AS (SELECT min(doc_id) AS doc, text
         |  FROM documents WHERE doc_id < 500 GROUP BY text),

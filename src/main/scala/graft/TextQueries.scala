@@ -268,121 +268,74 @@ object TextQueries {
        |SELECT doc, $sig AS simhash FROM w ORDER BY doc""".stripMargin
   }
 
+  /** Shared oracle CTE bodies — single-sourced so the three dedup oracles
+    * (q_minhash, q_dup_groups, q_clean_corpus) cannot drift apart.
+    * [[minhashCtes]]: survivor collapse → tokenize → vocab ids → 8-hash
+    * signatures → 4×2 banding candidates → intersection/size inputs of the
+    * exact-Jaccard verify. [[dupClosureCtes]]: minhash near pairs at the
+    * 0.9 threshold ∪ exact-dup pairs → symmetrized edges → RECURSIVE
+    * transitive closure `reach` (use with `WITH RECURSIVE`).
+    */
+  private val minhashCtes: String =
+    """surv AS (SELECT min(doc_id) AS doc, text
+      |  FROM documents WHERE doc_id < 500 GROUP BY text),
+      |stoks AS (SELECT doc, unnest(string_split(lower(text), ' ')) AS tok FROM surv),
+      |sdt AS (SELECT DISTINCT doc, tok FROM stoks WHERE tok <> ''),
+      |sv AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+      |       FROM (SELECT DISTINCT tok FROM sdt)),
+      |ids AS (SELECT doc, tid FROM sdt JOIN sv USING (tok)),
+      |sig AS (SELECT doc,
+      |  min((1103515245*tid + 12345) % 2147483647) AS h0,
+      |  min((1299709*tid + 7919) % 2147483647) AS h1,
+      |  min((104729*tid + 1117) % 2147483647) AS h2,
+      |  min((15485863*tid + 104723) % 2147483647) AS h3,
+      |  min((32452843*tid + 5581) % 2147483647) AS h4,
+      |  min((49979687*tid + 860033) % 2147483647) AS h5,
+      |  min((67867967*tid + 919) % 2147483647) AS h6,
+      |  min((86028121*tid + 7757) % 2147483647) AS h7
+      |FROM ids GROUP BY doc),
+      |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      |  FROM sig a JOIN sig b ON a.doc < b.doc AND (
+      |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+      |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+      |sz AS (SELECT doc, count(*) AS sz FROM ids GROUP BY doc),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand c JOIN ids x ON x.doc = c.doc_a
+      |  JOIN ids y ON y.doc = c.doc_b AND y.tid = x.tid GROUP BY 1, 2)""".stripMargin
+
+  private val dupClosureCtes: String =
+    s"""$minhashCtes,
+       |near AS (SELECT i.doc_a, i.doc_b
+       |  FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
+       |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9),
+       |ex AS (SELECT s.doc AS doc_a, d.doc_id AS doc_b
+       |  FROM documents d JOIN surv s ON s.text = d.text AND d.doc_id <> s.doc
+       |  WHERE d.doc_id < 500),
+       |e0 AS (SELECT doc_a AS a, doc_b AS b FROM near
+       |       UNION SELECT doc_a, doc_b FROM ex),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM documents WHERE doc_id < 500 GROUP BY text ORDER BY 1""".stripMargin,
     "q_minhash" ->
-      s"""WITH surv AS (SELECT min(doc_id) AS doc, text
-         |  FROM documents WHERE doc_id < 500 GROUP BY text),
-         |stoks AS (SELECT doc, unnest(string_split(lower(text), ' ')) AS tok FROM surv),
-         |sdt AS (SELECT DISTINCT doc, tok FROM stoks WHERE tok <> ''),
-         |sv AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-         |       FROM (SELECT DISTINCT tok FROM sdt)),
-         |ids AS (SELECT doc, tid FROM sdt JOIN sv USING (tok)),
-         |sig AS (SELECT doc,
-         |  min((1103515245*tid + 12345) % 2147483647) AS h0,
-         |  min((1299709*tid + 7919) % 2147483647) AS h1,
-         |  min((104729*tid + 1117) % 2147483647) AS h2,
-         |  min((15485863*tid + 104723) % 2147483647) AS h3,
-         |  min((32452843*tid + 5581) % 2147483647) AS h4,
-         |  min((49979687*tid + 860033) % 2147483647) AS h5,
-         |  min((67867967*tid + 919) % 2147483647) AS h6,
-         |  min((86028121*tid + 7757) % 2147483647) AS h7
-         |FROM ids GROUP BY doc),
-         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-         |  FROM sig a JOIN sig b ON a.doc < b.doc AND (
-         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
-         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
-         |sz AS (SELECT doc, count(*) AS sz FROM ids GROUP BY doc),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c JOIN ids x ON x.doc = c.doc_a
-         |  JOIN ids y ON y.doc = c.doc_b AND y.tid = x.tid GROUP BY 1, 2)
+      s"""WITH $minhashCtes
          |SELECT i.doc_a, i.doc_b,
          |  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
          |FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
          |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9
          |ORDER BY 1, 2""".stripMargin,
     "q_dup_groups" ->
-      s"""WITH RECURSIVE surv AS (SELECT min(doc_id) AS doc, text
-         |  FROM documents WHERE doc_id < 500 GROUP BY text),
-         |stoks AS (SELECT doc, unnest(string_split(lower(text), ' ')) AS tok FROM surv),
-         |sdt AS (SELECT DISTINCT doc, tok FROM stoks WHERE tok <> ''),
-         |sv AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-         |       FROM (SELECT DISTINCT tok FROM sdt)),
-         |ids AS (SELECT doc, tid FROM sdt JOIN sv USING (tok)),
-         |sig AS (SELECT doc,
-         |  min((1103515245*tid + 12345) % 2147483647) AS h0,
-         |  min((1299709*tid + 7919) % 2147483647) AS h1,
-         |  min((104729*tid + 1117) % 2147483647) AS h2,
-         |  min((15485863*tid + 104723) % 2147483647) AS h3,
-         |  min((32452843*tid + 5581) % 2147483647) AS h4,
-         |  min((49979687*tid + 860033) % 2147483647) AS h5,
-         |  min((67867967*tid + 919) % 2147483647) AS h6,
-         |  min((86028121*tid + 7757) % 2147483647) AS h7
-         |FROM ids GROUP BY doc),
-         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-         |  FROM sig a JOIN sig b ON a.doc < b.doc AND (
-         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
-         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
-         |sz AS (SELECT doc, count(*) AS sz FROM ids GROUP BY doc),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c JOIN ids x ON x.doc = c.doc_a
-         |  JOIN ids y ON y.doc = c.doc_b AND y.tid = x.tid GROUP BY 1, 2),
-         |near AS (SELECT i.doc_a, i.doc_b
-         |  FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
-         |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9),
-         |ex AS (SELECT s.doc AS doc_a, d.doc_id AS doc_b
-         |  FROM documents d JOIN surv s ON s.text = d.text AND d.doc_id <> s.doc
-         |  WHERE d.doc_id < 500),
-         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM near
-         |       UNION SELECT doc_a, doc_b FROM ex),
-         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b)
+      s"""WITH RECURSIVE $dupClosureCtes
          |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          |FROM reach GROUP BY a ORDER BY 1""".stripMargin,
     "q_clean_corpus" ->
-      s"""WITH RECURSIVE surv AS (SELECT min(doc_id) AS doc, text
-         |  FROM documents WHERE doc_id < 500 GROUP BY text),
-         |stoks AS (SELECT doc, unnest(string_split(lower(text), ' ')) AS tok FROM surv),
-         |sdt AS (SELECT DISTINCT doc, tok FROM stoks WHERE tok <> ''),
-         |sv AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-         |       FROM (SELECT DISTINCT tok FROM sdt)),
-         |ids AS (SELECT doc, tid FROM sdt JOIN sv USING (tok)),
-         |sig AS (SELECT doc,
-         |  min((1103515245*tid + 12345) % 2147483647) AS h0,
-         |  min((1299709*tid + 7919) % 2147483647) AS h1,
-         |  min((104729*tid + 1117) % 2147483647) AS h2,
-         |  min((15485863*tid + 104723) % 2147483647) AS h3,
-         |  min((32452843*tid + 5581) % 2147483647) AS h4,
-         |  min((49979687*tid + 860033) % 2147483647) AS h5,
-         |  min((67867967*tid + 919) % 2147483647) AS h6,
-         |  min((86028121*tid + 7757) % 2147483647) AS h7
-         |FROM ids GROUP BY doc),
-         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-         |  FROM sig a JOIN sig b ON a.doc < b.doc AND (
-         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
-         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
-         |sz AS (SELECT doc, count(*) AS sz FROM ids GROUP BY doc),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c JOIN ids x ON x.doc = c.doc_a
-         |  JOIN ids y ON y.doc = c.doc_b AND y.tid = x.tid GROUP BY 1, 2),
-         |near AS (SELECT i.doc_a, i.doc_b
-         |  FROM inter i JOIN sz sa ON sa.doc = i.doc_a JOIN sz sb ON sb.doc = i.doc_b
-         |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.9),
-         |ex AS (SELECT s.doc AS doc_a, d.doc_id AS doc_b
-         |  FROM documents d JOIN surv s ON s.text = d.text AND d.doc_id <> s.doc
-         |  WHERE d.doc_id < 500),
-         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM near
-         |       UNION SELECT doc_a, doc_b FROM ex),
-         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+      s"""WITH RECURSIVE $dupClosureCtes,
          |dropped AS (SELECT a AS doc_id FROM reach
          |            GROUP BY a HAVING a <> least(a, min(b))),
          |kept AS (SELECT doc_id, text FROM documents

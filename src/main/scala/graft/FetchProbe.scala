@@ -77,11 +77,10 @@ object FetchProbe {
       val adj = spark.read.parquet(path)
       // prepared dirs written by pre-sidecar round-6 code carry no
       // clustering sidecar; the table is ScalingBench's own (layout =
-      // ScalingBench.clustering by construction), so repair it the way
-      // ensureAdjacency does rather than trip openClustered's fail-loud
-      val hc = spark.sessionState.newHadoopConf()
-      if (!AdjacencyFetcher.hasSidecar(hc, path))
-        AdjacencyFetcher.writeSidecar(hc, path, ScalingBench.clustering)
+      // ScalingBench.clustering by construction), so repair it rather than
+      // trip openClustered's fail-loud
+      AdjacencyFetcher.ensureSidecar(spark.sessionState.newHadoopConf(),
+        path, ScalingBench.clustering)
       val clustered = AdjacencyFetcher.openClustered(spark, path, ScalingBench.clustering)
       val plain = new AdjacencyFetcher(spark.read.parquet(path))
       hostCounts.foreach { hosts =>

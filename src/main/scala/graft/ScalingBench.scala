@@ -133,8 +133,7 @@ object ScalingBench {
     // place — a pure FS op, no session — instead of tripping openClustered's
     // fail-loud contract or rewriting gigabytes of parquet
     Seq(in.pairsCAdj, in.warmPairsCAdj).foreach { p =>
-      if (!missing(p) && !AdjacencyFetcher.hasSidecar(hc, p))
-        AdjacencyFetcher.writeSidecar(hc, p, clustering)
+      if (!missing(p)) AdjacencyFetcher.ensureSidecar(hc, p, clustering)
     }
     val needed = Seq(in.pairsAdj, in.warmPairsAdj, in.pairsCAdj, in.warmPairsCAdj)
       .exists(missing)

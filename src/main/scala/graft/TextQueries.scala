@@ -18,6 +18,21 @@ object TextQueries {
   private def embs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The dup-pair producer q_dup_groups and q_clean_corpus share (and that
+    * [[dupClosureCtes]] replicates — keep all three in lockstep): exact-dup
+    * pairs (text-group survivor → other members) ∪ minhash near-dup pairs
+    * at the 0.9 threshold.
+    */
+  private def dupPairs(d: DataFrame): DataFrame = {
+    val surv = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_a"))
+    val exactPairs = d.join(surv, Seq("text"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    val nearPairs = Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    exactPairs.unionByName(nearPairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup (hash-groupBy)
     "q_exact_dedup" -> ((s, dir) => {
@@ -53,34 +68,19 @@ object TextQueries {
     // near-dup pairs, connected components, canonical = min id. The oracle
     // replicates the full chain — banding CTE + recursive transitive
     // closure — so group membership is hash-checked, not rows-only.
-    "q_dup_groups" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val surv = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_a"))
-      val exactPairs = d.join(surv, Seq("text"))
-        .filter(col("doc_id") =!= col("doc_a"))
-        .select(col("doc_a"), col("doc_id").as("doc_b"))
-      val nearPairs = Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.9)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.dupGroups(exactPairs.unionByName(nearPairs)).orderBy("doc_id")
-    }),
+    "q_dup_groups" -> ((s, dir) =>
+      Dedup.dupGroups(dupPairs(docs(s, dir))).orderBy("doc_id")),
     // the end-to-end training-data slice the family exists for: drop every
     // non-canonical duplicate (exact ∪ minhash groups via dupGroups), gate
     // on quality, report the surviving docs with their token counts — each
     // stage is oracle-checked alone above/below; this pins the COMPOSITION
     "q_clean_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
-      val surv = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_a"))
-      val exactPairs = d.join(surv, Seq("text"))
-        .filter(col("doc_id") =!= col("doc_a"))
-        .select(col("doc_a"), col("doc_id").as("doc_b"))
-      val nearPairs = Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.9)
-        .select(col("doc_a"), col("doc_b"))
-      val groups = Dedup.dupGroups(exactPairs.unionByName(nearPairs))
-      Dedup.dropDuplicates(d, "doc_id", groups)
-        .filter(TextQuality.qualityScore(col("text")) >= 0.5)
+      Dedup.dropDuplicates(d, "doc_id", Dedup.dupGroups(dupPairs(d)))
+        .withColumn("score", TextQuality.qualityScore(col("text")))
+        .filter(col("score") >= 0.5)
         .select(col("doc_id"),
-          TextQuality.tokenCount(col("text")).as("wc"),
-          TextQuality.qualityScore(col("text")).as("score"))
+          TextQuality.tokenCount(col("text")).as("wc"), col("score"))
         .orderBy("doc_id")
     }),
     // SimHash signatures
@@ -303,6 +303,23 @@ object TextQueries {
       |  FROM cand c JOIN ids x ON x.doc = c.doc_a
       |  JOIN ids y ON y.doc = c.doc_b AND y.tid = x.tid GROUP BY 1, 2)""".stripMargin
 
+  /** Quality-formula SQL fragments shared by q_quality and q_clean_corpus.
+    * They mirror `TextQuality.tokenCount/punctRatio/avgWordLen/qualityScore`
+    * verbatim — keep the Scala columns, these fragments, and nothing else
+    * in lockstep (single-sourced for the same no-drift reason as
+    * [[minhashCtes]]).
+    */
+  private val qualityColsSql: String =
+    """len(string_split(trim(text), ' ')) AS wc,
+      |  round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+      |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct,
+      |  round(length(replace(trim(text), ' ', ''))
+      |    / greatest(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 1.0), 6) AS awl""".stripMargin
+
+  private val scoreSql: String =
+    """round(least(CAST(wc AS DOUBLE) / 100.0, 1.0) * (1.0 - punct) *
+      |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6)""".stripMargin
+
   private val dupClosureCtes: String =
     s"""$minhashCtes,
        |near AS (SELECT i.doc_a, i.doc_b
@@ -341,18 +358,12 @@ object TextQueries {
          |kept AS (SELECT doc_id, text FROM documents
          |  WHERE doc_id < 500 AND doc_id NOT IN (SELECT doc_id FROM dropped)),
          |q AS (SELECT doc_id,
-         |  len(string_split(trim(text), ' ')) AS wc,
-         |  round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-         |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct,
-         |  round(length(replace(trim(text), ' ', ''))
-         |    / greatest(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 1.0), 6) AS awl
+         |  $qualityColsSql
          |  FROM kept)
          |SELECT doc_id, wc,
-         |  round(least(CAST(wc AS DOUBLE) / 100.0, 1.0) * (1.0 - punct) *
-         |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS score
+         |  $scoreSql AS score
          |FROM q
-         |WHERE round(least(CAST(wc AS DOUBLE) / 100.0, 1.0) * (1.0 - punct) *
-         |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) >= 0.5
+         |WHERE $scoreSql >= 0.5
          |ORDER BY doc_id""".stripMargin,
     "q_minhash_hashed" ->
       """WITH surv AS (SELECT min(doc_id) AS doc, text
@@ -506,21 +517,16 @@ object TextQueries {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS subwords
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     "q_quality" ->
-      """WITH q AS (SELECT doc_id, text,
-        |  len(string_split(trim(text), ' ')) AS wc,
-        |  round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-        |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct,
-        |  round(length(replace(trim(text), ' ', ''))
-        |    / greatest(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 1.0), 6) AS awl,
-        |  round(len(list_filter(string_split(lower(trim(text)), ' '),
-        |      x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
-        |    / greatest(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE), 1.0), 6) AS stop_ratio
-        |  FROM documents WHERE doc_id < 500)
-        |SELECT doc_id,
-        |  round(least(CAST(wc AS DOUBLE) / 100.0, 1.0) * (1.0 - punct) *
-        |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS score,
-        |  stop_ratio
-        |FROM q ORDER BY doc_id""".stripMargin,
+      s"""WITH q AS (SELECT doc_id, text,
+         |  $qualityColsSql,
+         |  round(len(list_filter(string_split(lower(trim(text)), ' '),
+         |      x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+         |    / greatest(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE), 1.0), 6) AS stop_ratio
+         |  FROM documents WHERE doc_id < 500)
+         |SELECT doc_id,
+         |  $scoreSql AS score,
+         |  stop_ratio
+         |FROM q ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
         |           FROM documents WHERE doc_id < 500),

@@ -325,6 +325,15 @@ object AdjacencyFetcher {
     p.getFileSystem(hc).exists(p)
   }
 
+  /** Backfill a missing sidecar on a table whose layout the CALLER wrote
+    * (pre-sidecar prepared dirs): writer-only, same contract as
+    * [[writeSidecar]] — asserting a layout the caller did not write
+    * re-opens the hash-mode row-drop hole.
+    */
+  def ensureSidecar(hc: org.apache.hadoop.conf.Configuration, path: String,
+                    clustering: Clustering): Unit =
+    if (!hasSidecar(hc, path)) writeSidecar(hc, path, clustering)
+
   private val sidecarName = "_graft_clustering.json"
 
   /** Open a table written by [[writeClustered]] as a pruning fetcher. The

@@ -33,7 +33,12 @@ object ConnectedComponents {
 
     var iter = 0
     var changed = 1L
-    while (iter < maxIter && changed > 0) {
+    // `iter <= maxIter`, not `<`: maxIter bounds the CHANGING (propagation)
+    // iterations, and convergence is only ever observed by one further
+    // confirming pass with changed == 0 — so a graph whose diameter equals
+    // exactly maxIter must get that extra pass instead of tripping the
+    // convergence require on a correct fixpoint
+    while (iter <= maxIter && changed > 0) {
       val neighborMin = sym
         .join(labels, sym("from_id") === labels("id"))
         .groupBy(col("to_id").as("id"))

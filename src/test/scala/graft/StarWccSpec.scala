@@ -57,6 +57,13 @@ class StarWccSpec extends AnyFunSuite {
       ConnectedComponents.weak(nodes, chain, maxIter = 5)
     }
     assert(e.getMessage.contains("ConnectedComponents.star"))
+    // boundary: diameter == maxIter converges on the final permitted
+    // propagation pass and must RETURN (the confirming pass is extra)
+    val six = (0L until 6L).toDF("id")
+    val chain6 = (1L until 6L).map(i => (i, i - 1)).toDF("from_id", "to_id")
+    val got = ConnectedComponents.weak(six, chain6, maxIter = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 6 && got.forall(_._2 == 0L))
   }
 
   test("isolated vertices are their own component; empty edge set") {

@@ -188,7 +188,7 @@ class FrontierSpec extends AnyFunSuite {
     assert(obstruction.mkdirs())
     Files.writeString(obstruction.toPath.resolve("occupied"), "x")
 
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     intercept[Exception] {
       Frontier.run(spark, c, fetcher, 4, budgets, robots, priorities)
     }
@@ -196,7 +196,7 @@ class FrontierSpec extends AnyFunSuite {
     // selected-batch checkpoint blocks + newRows cache AND the speculative
     // prep's checkpoint blocks — a leak here compounds over a
     // thousands-of-rounds crawl that retries failed rounds
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty, s"persisted RDDs leaked by the failure path: $leaked")
     // round 0 committed durably before the failure; round 1 must not have
     assert(Frontier.lastCommittedAt(spark, c, 0).isDefined)

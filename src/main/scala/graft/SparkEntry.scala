@@ -125,10 +125,10 @@ object SparkEntry {
       when(pmod(col("i"), lit(3L)) === 0, array(textSpan, mediaSpan))
         .otherwise(array(textSpan)).as("spans"))
     val fetcher = mkFetcher(docs)
-    val priorities = s.range(30).select(
+    val priorities = s.range(0, 30, 1, 1).select(
       concat(lit("com.site"), col("id")).as("rev_host"),
       ((pmod(col("id") * 13, lit(17L)) + 1) / lit(16.0)).as("priority"))
-    val budgets = budgetsOverride.getOrElse(s.range(30).select(
+    val budgets = budgetsOverride.getOrElse(s.range(0, 30, 1, 1).select(
       concat(lit("com.site"), col("id")).as("rev_host"),
       (pmod(col("id"), lit(3L)) + 1).cast("int").as("tokens_per_round")))
     // RFC 9309 longest-match in the oracle-checked path, with BOTH
@@ -139,7 +139,7 @@ object SparkEntry {
     val robots = robotsOverride.getOrElse(
       Seq(("com.site14", Seq("/page/1"), Seq("/page/12")))
         .toDF("rev_host", "disallow_prefixes", "allow_prefixes"))
-    Frontier.init(s, c, s.range(8).select(urlOf(col("id")).as("url")),
+    Frontier.init(s, c, s.range(0, 8, 1, 1).select(urlOf(col("id")).as("url")),
       priorities, robots)
     Frontier.run(s, c, fetcher, 3, budgets, robots, priorities)
     Frontier.fetchLog(s, c)
@@ -322,7 +322,7 @@ object SparkEntry {
     }),
     // D11: subgraph metrics for a member set
     "q_subgraph" -> ((s, dir) => {
-      val members = s.range(50).select(col("id"))
+      val members = s.range(0, 50, 1, 1).select(col("id"))
       Explore.subgraphMetrics(lineitemEdges(s, dir), members)
     }),
     // I: SURT canonicalization custom expression (north_star)
@@ -381,7 +381,7 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).filter(i < 60)
           .select(concat(lit("com.site"), i).as("rev_host"), body.as("body")),
         agent = "graftbot")
-      val explicit = s.range(10)
+      val explicit = s.range(0, 10, 1, 1)
         .select(concat(lit("com.site"), col("id") * 7).as("rev_host"),
           (col("id") + 2).cast("int").as("tokens_per_round"))
       Frontier.budgetsWithRobots(explicit, rules, roundSeconds = 60.0)
@@ -486,13 +486,20 @@ object SparkEntry {
     // + seen sets across all five fetcher layouts.
     "q_frontier_adj" -> ((s, dir) => {
       import graft.frontier.{AdjacencyFetcher, CorpusFetcher}
-      frontierCrawl(s, dir, docs => {
-        val path = java.nio.file.Files.createTempDirectory("graft_cadj").toString
+      val path = java.nio.file.Files.createTempDirectory("graft_cadj").toString
+      val log = frontierCrawl(s, dir, docs => {
         val cl = AdjacencyFetcher.Clustering(buckets = 8, byRange = true)
         AdjacencyFetcher.writeClustered(
           AdjacencyFetcher.groupPairs(CorpusFetcher.pairsOf(docs)), path, cl)
         AdjacencyFetcher.openClustered(s, path, cl)
       })
+      // the clustered copy is only scanned during the (eager) crawl above —
+      // the returned log plan reads the crawl's own fetch_log table — so the
+      // temp table can be dropped here instead of orphaning one copy per
+      // Verify/Bench invocation (ADVICE r6)
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      log
     }),
     // Crawl-delay INSIDE the hash-checked crawl (VERDICT r4 item 5): the
     // politeness budgets come from `Frontier.budgetsWithRobots` over PARSED
@@ -510,7 +517,7 @@ object SparkEntry {
     // the derivation OR the explicit-over-derived precedence regresses.
     "q_frontier_delay" -> ((s, dir) => {
       import graft.frontier.{CorpusFetcher, Frontier, Robots}
-      val bodies = s.range(30).select(
+      val bodies = s.range(0, 30, 1, 1).select(
         concat(lit("com.site"), col("id")).as("rev_host"),
         concat(lit("User-agent: *\nCrawl-delay: "),
           when(col("id") === 20, lit(60))
@@ -518,7 +525,7 @@ object SparkEntry {
           when(col("id") === 14, lit("\nDisallow: /page/1\nAllow: /page/12"))
             .otherwise(lit(""))).as("body"))
       val rules = Robots.parseFull(bodies, agent = "graftbot")
-      val explicit = s.range(30).filter(col("id") === 4)
+      val explicit = s.range(0, 30, 1, 1).filter(col("id") === 4)
         .select(concat(lit("com.site"), col("id")).as("rev_host"),
           lit(1).cast("int").as("tokens_per_round"))
       frontierCrawl(s, dir, docs => new CorpusFetcher(docs),
@@ -640,9 +647,13 @@ object SparkEntry {
         .select(concat(lit("s"), col("l_suppkey")).as("from_host"),
                 concat(lit("p"), col("l_partkey")).as("to_host"))
         .distinct()
-      val (v1, _) = HostGraph.build(crawl(0))
+      // crawl(0) feeds BOTH the first build and the merge — cache it so the
+      // lineitem scan + distinct runs once, not twice (result unchanged)
+      val c0 = crawl(0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val (v1, _) = HostGraph.build(c0)
       val (vm, _) = HostGraph.buildWithExistingIds(
-        HostGraph.mergeLinks(Seq(crawl(0), crawl(1))), v1)
+        HostGraph.mergeLinks(Seq(c0, crawl(1))), v1)
       vm.select(col("id"), col("rev_name")).orderBy("id")
     }),
     // B9: prefix-interval vertex filter (iepm intervals)
@@ -669,7 +680,7 @@ object SparkEntry {
     }),
     // C8: successors-of-vertex ∩ member set
     "q_succ_set" -> ((s, dir) => {
-      val set = s.range(0, 200, 2).select(col("id"))
+      val set = s.range(0, 200, 2, 1).select(col("id"))
       Explore.successorIntersect(lineitemEdges(s, dir), 1L, set)
     }),
     // C9: label↔ID round-trip — name→id (idsOfLabels) then id→name

@@ -315,8 +315,13 @@ object AdjacencyFetcher {
       s"""{"buckets":${clustering.buckets},"byRange":${clustering.byRange}}"""
         .getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    // many Hadoop FileSystems signal delete/rename failure by RETURNING
+    // false, not throwing — a swallowed false here would leave the table
+    // sidecar-less and shift the blame to a later openClustered (ADVICE r6)
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new java.io.IOException(s"could not delete stale sidecar $p")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not rename $tmp to $p")
   }
 
   /** Whether the table at `path` carries a clustering sidecar. */
@@ -364,12 +369,24 @@ object AdjacencyFetcher {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                   finally in.close()
-        def field(name: String): Option[String] =
+        // a present-but-unparsable sidecar is treated like a MISSING one
+        // (fail loudly): getOrElse-defaulting to the caller's layout would
+        // re-open the silent hash-mode bucket-mismatch row-drop hole the
+        // sidecar exists to close (ADVICE r6)
+        def field(name: String): String =
           ("\"" + name + "\"\\s*:\\s*([0-9a-z]+)").r
             .findFirstMatchIn(txt).map(_.group(1))
-        clustering.copy(
-          buckets = field("buckets").map(_.toInt).getOrElse(clustering.buckets),
-          byRange = field("byRange").map(_.toBoolean).getOrElse(clustering.byRange))
+            .getOrElse(throw new IllegalStateException(
+              s"$p is unparsable (no `$name` field): $txt — rewrite the " +
+                "table, or open it with an explicit " +
+                "`new AdjacencyFetcher(df, Some(clustering))` if the layout " +
+                "is known out-of-band."))
+        try clustering.copy(
+          buckets = field("buckets").toInt,
+          byRange = field("byRange").toBoolean)
+        catch { case e: IllegalArgumentException => // toInt / toBoolean parse
+          throw new IllegalStateException(s"$p carries a malformed value: $txt", e)
+        }
       }
     new AdjacencyFetcher(spark.read.parquet(path), Some(cl))
   }
@@ -645,20 +662,44 @@ object Frontier {
       case Some(sm) => seeds.select(col("url")).unionByName(sm.select(col("url")))
       case None => seeds.select(col("url"))
     }
+    // the canonicalized seed set feeds three consumers (count, seen append,
+    // pending write) — cache it so its groupBy/joins run once, not three
+    // times; released after the init commit
     val rows = robotsFilter(canonicalize(seedUrls, priorities), robots)
     val pend = rows.select("key", "url", "rev_host", "priority")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nSeeds = pend.count()
     UrlSeen.create(spark, seenDir(c), c.seenCfg)
-    UrlSeen.append(spark, seenDir(c), pend.select("key"), c.seenCfg, "init:seeds")
-    val pSnap = TableIO.write(pend, pendingDir(c), "init:seeds", Map("rows" -> nSeeds))
+    // the four init tables are independent outputs — write them
+    // concurrently (same discipline as the per-round commit futures; the
+    // init marker below remains the only serialization point)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     import spark.implicits._
-    val rSnap = TableIO.write(Seq.empty[String].toDF("key"), removedDir(c), "init")
-    val emptyLog = Seq.empty[(Int, Double, String, String)]
-      .toDF("round", "priority", "rev_host", "url")
-    val lSnap = TableIO.write(emptyLog, logDir(c), "init")
-    val seenSnap = TableIO.currentSnapshot(spark, seenDir(c)).get
-    writeMarker(spark, c, State(-1, seenSnap.id, pSnap.id, rSnap.id, lSnap.id, 0L),
-      Map("seeds" -> nSeeds))
+    val fSeen = Future {
+      UrlSeen.append(spark, seenDir(c), pend.select("key"), c.seenCfg, "init:seeds")
+    }
+    val fPend = Future {
+      TableIO.write(pend, pendingDir(c), "init:seeds", Map("rows" -> nSeeds))
+    }
+    val fRem = Future {
+      TableIO.write(Seq.empty[String].toDF("key"), removedDir(c), "init")
+    }
+    val fLog = Future {
+      val emptyLog = Seq.empty[(Int, Double, String, String)]
+        .toDF("round", "priority", "rev_host", "url")
+      TableIO.write(emptyLog, logDir(c), "init")
+    }
+    try {
+      Await.result(fSeen, Duration.Inf)
+      val pSnap = Await.result(fPend, Duration.Inf)
+      val rSnap = Await.result(fRem, Duration.Inf)
+      val lSnap = Await.result(fLog, Duration.Inf)
+      val seenSnap = TableIO.currentSnapshot(spark, seenDir(c)).get
+      writeMarker(spark, c, State(-1, seenSnap.id, pSnap.id, rSnap.id, lSnap.id, 0L),
+        Map("seeds" -> nSeeds))
+    } finally pend.unpersist(blocking = false)
   }
 
   /** A politeness-selected fetch batch, persisted and counted — the output
@@ -700,7 +741,17 @@ object Frontier {
     // canonicalize shuffle see each candidate once, not once per in-link.
     // Identical result: canonicalize aggregates by key with min(), which is
     // duplicate-insensitive.
-    val outlinks = fetcher.fetch(sel, nSelected).select(col("outlink").as("url")).distinct()
+    // the pre-aggregation only pays when the batch's outlink multiset is
+    // large (it buys the canonicalize agg a smaller exchange at the price of
+    // an extra shuffle); for a small interactive batch the duplicate surt
+    // evaluations are cheaper than the added stage — canonicalize's min()
+    // aggregation is duplicate-insensitive either way, so the result is
+    // identical (scale-adaptive on the measured batch size, same threshold
+    // family as the candidate barrier)
+    val rawOutlinks = fetcher.fetch(sel, nSelected).select(col("outlink").as("url"))
+    val outlinks =
+      if (nSelected >= 0 && nSelected < c.candidateBarrierMin) rawOutlinks
+      else rawOutlinks.distinct()
     // MATERIALIZED once (persist + count): a deliberate optimization barrier.
     // Without it, Catalyst pushes the seen-filter predicates of unseen()'s
     // two union branches (bloom might-contain UDF + surt/reverse_host null
@@ -786,18 +837,31 @@ object Frontier {
           budgets: DataFrame, robots: DataFrame, priorities: DataFrame): State = {
     var st = lastCommitted(spark, c)
       .getOrElse(throw new IllegalStateException("frontier not initialized"))
-    var blooms: Option[Map[Int, Array[Byte]]] = None
-    var prep: Option[Prep] = None
-    while (st.round + 1 < rounds) {
-      val (st2, blooms2, prep2) = runRound(spark, c, st, fetcher, budgets, robots,
-        priorities, blooms, prep, prepareNext = st.round + 2 < rounds)
-      st = st2
-      blooms = blooms2
-      prep = prep2
-    }
-    // (no post-loop prep cleanup needed: prepareNext is false on the final
-    // iteration, so the loop always exits with prep == None)
-    st
+    // budgets/robots/priorities are referenced by EVERY round's selection
+    // windows, robots filter and canonicalize joins — and when the caller
+    // hands in derived plans (e.g. budgetsWithRobots over parsed bodies),
+    // each of the many per-round jobs would otherwise re-execute that whole
+    // derivation inside its broadcast build. Cache them once for the crawl;
+    // sized by the host count, so MEMORY_AND_DISK_SER spills rather than
+    // pressures the heap at scale. Released when the loop exits.
+    val cachedInputs = Seq(budgets, robots, priorities)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val (cBudgets, cRobots, cPriorities) =
+      (cachedInputs(0), cachedInputs(1), cachedInputs(2))
+    try {
+      var blooms: Option[Map[Int, Array[Byte]]] = None
+      var prep: Option[Prep] = None
+      while (st.round + 1 < rounds) {
+        val (st2, blooms2, prep2) = runRound(spark, c, st, fetcher, cBudgets,
+          cRobots, cPriorities, blooms, prep, prepareNext = st.round + 2 < rounds)
+        st = st2
+        blooms = blooms2
+        prep = prep2
+      }
+      // (no post-loop prep cleanup needed: prepareNext is false on the final
+      // iteration, so the loop always exits with prep == None)
+      st
+    } finally cachedInputs.foreach(_.unpersist(blocking = false))
   }
 
   /** Cumulative FILE-SCAN output rows + scan time across the app —
@@ -816,35 +880,42 @@ object Frontier {
     * lap is approximate (±1 query) — fine for a diagnostic.
     */
   private object ScanMeter {
-    private val rows = new java.util.concurrent.atomic.LongAdder
-    private val ms = new java.util.concurrent.atomic.LongAdder
-    private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    @volatile private var attachedApp: String = null
+    // counters are scoped PER APPLICATION id: two live SparkSessions from
+    // different applications in one JVM must not reset each other's totals
+    // (ADVICE r6) — sequential test sessions simply accumulate into separate
+    // entries (bounded: one small entry per application ever seen)
+    private final class Counters {
+      val rows = new java.util.concurrent.atomic.LongAdder
+      val ms = new java.util.concurrent.atomic.LongAdder
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    }
+    private val byApp =
+      new java.util.concurrent.ConcurrentHashMap[String, Counters]()
+    private val attached = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-    private def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+    private def walk(c: Counters, p: org.apache.spark.sql.execution.SparkPlan): Unit =
       graft.PlanScan.foreachFileScan(p) { f =>
-        f.metrics.get("numOutputRows").foreach(m => if (seen.add(m.id)) rows.add(m.value))
-        f.metrics.get("scanTime").foreach(m => if (seen.add(m.id)) ms.add(m.value))
+        f.metrics.get("numOutputRows").foreach(m => if (c.seen.add(m.id)) c.rows.add(m.value))
+        f.metrics.get("scanTime").foreach(m => if (c.seen.add(m.id)) c.ms.add(m.value))
       }
 
-    def ensure(spark: SparkSession): Unit = synchronized {
+    def ensure(spark: SparkSession): Unit = {
       val appId = spark.sparkContext.applicationId
-      if (attachedApp != appId) {
-        // new application in the same JVM (sequential test sessions): drop
-        // the previous app's accumulated totals and metric-id set so laps
-        // never difference against cross-app sums and `seen` stays bounded
-        rows.reset(); ms.reset(); seen.clear()
+      val c = byApp.computeIfAbsent(appId, _ => new Counters)
+      if (attached.add(appId)) {
         spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(fn: String,
               qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-            try walk(qe.executedPlan) catch { case _: Throwable => () }
+            try walk(c, qe.executedPlan) catch { case _: Throwable => () }
           override def onFailure(fn: String,
               qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
         })
-        attachedApp = appId
       }
     }
-    def total: (Long, Long) = (rows.sum(), ms.sum())
+    def total(spark: SparkSession): (Long, Long) = {
+      val c = byApp.get(spark.sparkContext.applicationId)
+      if (c == null) (0L, 0L) else (c.rows.sum(), c.ms.sum())
+    }
   }
 
   private def runRound(spark: SparkSession, c: Config, st: State, fetcher: Fetcher,
@@ -856,10 +927,10 @@ object Frontier {
       : (State, Option[Map[Int, Array[Byte]]], Option[Prep]) = {
     val timing = sys.env.contains("GRAFT_TIMING")
     var tPrev = System.nanoTime()
-    var bPrev = if (timing) { ScanMeter.ensure(spark); ScanMeter.total } else (0L, 0L)
+    var bPrev = if (timing) { ScanMeter.ensure(spark); ScanMeter.total(spark) } else (0L, 0L)
     def lap(phase: String): Unit = if (timing) {
       val now = System.nanoTime()
-      val b = ScanMeter.total
+      val b = ScanMeter.total(spark)
       System.err.println(f"[round-timing] $phase%-16s ${(now - tPrev) / 1e9}%.2fs " +
         f"scanRows=${(b._1 - bPrev._1) / 1e6}%.1fM scanMs=${b._2 - bPrev._2}")
       tPrev = now
@@ -940,18 +1011,22 @@ object Frontier {
       if (compact) {
         val live = pending.join(selected.select("key"), Seq("key"), "left_anti")
           .unionByName(newRows)
-        val p = TableIO.write(live, pendingDir(c), s"round:$round:pending:compact")
         import spark.implicits._
-        val r = TableIO.write(Seq.empty[String].toDF("key"), removedDir(c),
-          s"round:$round:removed:compact")
-        (p, r)
+        val fp = Future { TableIO.write(live, pendingDir(c),
+          s"round:$round:pending:compact") }
+        val fr = Future { TableIO.write(Seq.empty[String].toDF("key"), removedDir(c),
+          s"round:$round:removed:compact") }
+        (Await.result(fp, Duration.Inf), Await.result(fr, Duration.Inf))
       } else {
-        val p = TableIO.append(newRows, pendingDir(c), s"round:$round:pending",
-          parentId = Some(st.pending))
-        val r = TableIO.append(selected.select("key"), removedDir(c),
+        // two independent tables — overlap the writes (the round marker is
+        // still the only serialization point), so the pending chain's wall
+        // is one append, not two back to back
+        val fp = Future { TableIO.append(newRows, pendingDir(c),
+          s"round:$round:pending", parentId = Some(st.pending)) }
+        val fr = Future { TableIO.append(selected.select("key"), removedDir(c),
           s"round:$round:removed", Map("rows" -> nSelected),
-          parentId = Some(st.removed))
-        (p, r)
+          parentId = Some(st.removed)) }
+        (Await.result(fp, Duration.Inf), Await.result(fr, Duration.Inf))
       }
     }
     val fSeen = Future {

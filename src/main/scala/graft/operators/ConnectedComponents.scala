@@ -28,8 +28,13 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
+    // lazy checkpoint (lineage still truncated at materialization, plan
+    // growth still bounded) — the eager default would spend one full job per
+    // checkpoint BEFORE the job that consumes it (guide §7.3 driver
+    // round-trips); here the change-count action below materializes each
+    // iteration in a single job
     var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint() // truncate lineage per iteration (plan growth → OOM)
+      .localCheckpoint(false)
 
     var iter = 0
     var changed = 1L
@@ -43,15 +48,19 @@ object ConnectedComponents {
         .join(labels, sym("from_id") === labels("id"))
         .groupBy(col("to_id").as("id"))
         .agg(min("component").as("nbr_min"))
-      val newLabels = labels
+      // convergence FUSED into the step (one action per iteration): the old
+      // component rides along as `__chg`, so the separate newLabels ⋈ labels
+      // change-count job disappears; `__chg` is dropped from the carried
+      // state below
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint()
-      changed = newLabels
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = newLabels
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .cast("long").as("__chg"))
+        .localCheckpoint(false)
+      changed = stepped.agg(coalesce(sum("__chg"), lit(0L))).first().getLong(0)
+      labels = stepped.drop("__chg")
       iter += 1
     }
     sym.unpersist()
@@ -99,17 +108,19 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
       rePointed.unionByName(mins.select(col("u"), col("m").as("v"))).distinct()
     }
+    // lazy checkpoints: the count that follows each one materializes it in
+    // the same job (the eager default pays a separate checkpoint job first)
     var e = edges
       .select(greatest(col("from_id"), col("to_id")).as("u"),
               least(col("from_id"), col("to_id")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var n = e.count()
     var iter = 0
     var changed = n > 0 // no edges → already a (trivial) star forest
     while (changed && n > 0 && iter < maxIter) {
       iter += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nNext = next.count()
       changed = nNext != n ||
         next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0

@@ -24,8 +24,12 @@ object HarmonicCentrality {
     // frontier/seen hold pairs (src, dst): src reaches dst in d hops along arcs;
     // hc of the ORIGINAL graph needs distances d(u,v) along u→v arcs, summed
     // per TARGET v — so we accumulate 1/d grouped by dst.
+    // lazy checkpoints throughout (lineage truncation per hop unchanged —
+    // plan growth → OOM): each hop's frontier count materializes that hop in
+    // ONE job instead of eager-checkpoint + count pairs, and the hc/seen
+    // chains materialize inside the actions that consume them
     var frontier = vertices.select(col("id").as("src"), col("id").as("dst"))
-      .localCheckpoint() // lineage truncation per hop (plan growth → OOM)
+      .localCheckpoint(false)
     var seen = frontier
     var hc = vertices.select(col("id"), lit(0.0).as("hc_val"))
     var d = 0
@@ -37,16 +41,16 @@ object HarmonicCentrality {
         .select(col("src"), col("to_id").as("dst"))
         .distinct()
       val newFrontier = expanded.join(seen, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       frontierSize = newFrontier.count()
       if (frontierSize > 0) {
         val gain = newFrontier.groupBy(col("dst").as("id"))
           .agg((count(lit(1)) / lit(d.toDouble)).as("gain"))
         hc = hc.join(gain, Seq("id"), "left_outer")
           .select(col("id"), (col("hc_val") + coalesce(col("gain"), lit(0.0))).as("hc_val"))
-        seen = seen.union(newFrontier).localCheckpoint()
+        seen = seen.union(newFrontier).localCheckpoint(false)
         frontier = newFrontier
-        hc = hc.localCheckpoint()
+        hc = hc.localCheckpoint(false)
       }
     }
     // double here; the ranking sink casts to float to match the reference's
@@ -68,7 +72,7 @@ object HarmonicCentrality {
 
     var state = vertices.select(col("id"), mkRegs(col("id")).as("regs"),
         lit(1.0).as("ball"), lit(0.0).as("hc_val"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var r = 0
     var changed = 1L
@@ -81,19 +85,23 @@ object HarmonicCentrality {
         .select(col("to_id").as("id"), col("regs"))
       val merged = state.select(col("id"), col("regs")).union(pulled)
         .groupBy("id").agg(mergeHll(col("regs")).as("regs"))
+      // convergence FUSED into the hop (same |ball − old_ball| > 1e-9 test):
+      // the old ball is already in this plan, so `__chg` rides along and the
+      // changed-count is one aggregate over the hop's own checkpoint — no
+      // separate newState ⋈ state join job per hop. Checkpoints are lazy:
+      // that aggregate materializes the hop in a single job.
       val newState = state.select(col("id"), col("ball"), col("hc_val"))
         .join(merged, "id")
         .select(col("id"), col("regs"),
           est(col("regs")).as("new_ball"), col("ball"), col("hc_val"))
         .select(col("id"), col("regs"), col("new_ball").as("ball"),
           (col("hc_val") +
-            greatest(col("new_ball") - col("ball"), lit(0.0)) / lit(r.toDouble)).as("hc_val"))
-        .localCheckpoint()
-      changed = newState.join(
-          state.select(col("id"), col("ball").as("old_ball")), "id")
-        .filter(abs(col("ball") - col("old_ball")) > 1e-9).count()
+            greatest(col("new_ball") - col("ball"), lit(0.0)) / lit(r.toDouble)).as("hc_val"),
+          (abs(col("new_ball") - col("ball")) > 1e-9).cast("long").as("__chg"))
+        .localCheckpoint(false)
+      changed = newState.agg(coalesce(sum("__chg"), lit(0L))).first().getLong(0)
       state.unpersist()
-      state = newState
+      state = newState.drop("__chg")
     }
     state.select(col("id"), col("hc_val").cast("float").as("hc_val"))
   }

@@ -75,7 +75,7 @@ object HostGraph {
     val newVerts = DenseIds.assign(newNames, "rev_name")
       .select((col("id") + maxId + 1).as("id"), col("rev_name"))
     val vertices = existingVertices.select("id", "rev_name").unionByName(newVerts)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materialized by the consumer's action
     val edges = links
       .join(vertices.select(col("rev_name").as("from_host"), col("id").as("from_id")), Seq("from_host"))
       .join(vertices.select(col("rev_name").as("to_host"), col("id").as("to_id")), Seq("to_host"))

@@ -150,7 +150,12 @@ object PageRank {
       .getOrElse(vertices.select(col("id"), lit(1.0 / n).as("pref")))
       .select(col("id"), col("pref"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = pref.select(col("id"), col("pref").as("pr_val")).localCheckpoint()
+    // LAZY checkpoints: each iteration's plan is still truncated to a leaf
+    // (no plan growth), but nothing executes until the single materializing
+    // count below — k fixed iterations run as ONE job instead of k eager
+    // checkpoint jobs (no convergence checks exist here to force a
+    // per-iteration action). pr_val arithmetic is untouched.
+    var ranks = pref.select(col("id"), col("pref").as("pr_val")).localCheckpoint(false)
     (1 to iterations).foreach { _ =>
       ranks = (if (redistributeDangling) step(ranks, edgesDeg, pref, alpha)
                else {
@@ -165,8 +170,11 @@ object PageRank {
                    .select(col("id"),
                      (lit(1.0 - alpha) * col("pref") +
                        lit(alpha) * coalesce(col("in_mass"), lit(0.0))).as("pr_val"))
-               }).localCheckpoint()
+               }).localCheckpoint(false)
     }
+    // materialize the final checkpoint BEFORE releasing the caches it was
+    // computed from (with lazy checkpoints nothing has executed yet)
+    ranks.count()
     edgesDeg.unpersist()
     pref.unpersist()
     ranks

@@ -20,15 +20,25 @@ object Ranks {
   def rowNumber(df: DataFrame, sortCols: Seq[Column], rankCol: String,
                 partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val p = if (partitions > 0) partitions
-            else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val staged = df
-      .repartitionByRange(p, sortCols: _*)
+    // the range exchange EXECUTES its input twice (once for the range
+    // sampling pass, once for the shuffle itself) — cache the input so the
+    // upstream chain (often a distinct over the corpus) runs once; released
+    // as soon as `staged` is materialized by the counts job below
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // no explicit partition count unless the caller pins one: leaving it to
+    // the planner keeps the exchange AQE-coalescible, so a small input lands
+    // in ONE ordered partition instead of `spark.sql.shuffle.partitions`
+    // near-empty ones (scale-adaptive: ranks/ids depend only on the global
+    // sort order, never on the partition boundaries)
+    val ranged = if (partitions > 0) input.repartitionByRange(partitions, sortCols: _*)
+                 else input.repartitionByRange(sortCols: _*)
+    val staged = ranged
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = staged.groupBy("__pid").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    input.unpersist(blocking = false) // staged now holds the materialized rows
     val offsets: Map[Int, Long] = {
       var acc = 0L
       counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap

@@ -42,7 +42,11 @@ object Dedup {
 
   /** (doc, tid) pairs. */
   def docTokenIds(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // two consumers (the vocab build and the join's left side) — cache the
+    // tokenize+distinct pass over the corpus so it runs once, not twice
+    // (Spark evicts under pressure; serialized to bound the footprint)
     val toks = docTokens(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     toks.join(vocab(toks), "tok").select(col("doc"), col("tid"))
   }
 

@@ -669,7 +669,9 @@ object Frontier {
     val pend = rows.select("key", "url", "rev_host", "priority")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nSeeds = pend.count()
-    UrlSeen.create(spark, seenDir(c), c.seenCfg)
+    // no separate empty-table create commit: the seed append below creates
+    // the seen table as snapshot 0 itself (append with no current snapshot
+    // commits a delta-only manifest) — one write+manifest fewer at init
     // the four init tables are independent outputs — write them
     // concurrently (same discipline as the per-round commit futures; the
     // init marker below remains the only serialization point)
@@ -937,6 +939,10 @@ object Frontier {
       bPrev = b
     }
     val round = st.round + 1
+    // label this thread's jobs for the round (restored on the success path;
+    // a leaked label after a failed round is cosmetic only)
+    val prevDesc = spark.sparkContext.getLocalProperty("spark.job.description")
+    spark.sparkContext.setJobDescription(s"frontier:r$round:select+dedup")
     // live pending = add ∖ removed over the two pinned delta snapshots; the
     // anti-join feeds straight into the selection shuffle below (no extra
     // materialization), and compaction bounds how many delta files it scans
@@ -968,7 +974,14 @@ object Frontier {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fLog = Future {
+    // label the concurrent commit jobs (guide §1.5): descriptions are
+    // thread-local and the shared execution context reuses threads, so each
+    // future sets its own instead of inheriting a stale one
+    def labeled[T](what: String)(body: => T): Future[T] = Future {
+      spark.sparkContext.setJobDescription(s"frontier:r$round:$what")
+      body
+    }
+    val fLog = labeled("log") {
       TableIO.append(logRows, logDir(c), s"round:$round:log",
         Map("rows" -> nSelected), parentId = Some(st.log))
     }
@@ -1007,29 +1020,31 @@ object Frontier {
     // compaction round instead rewrites the live set as a fresh base
     // snapshot and resets the removed table (amortized O(|pending|/k))
     val compact = c.compactPendingEvery > 0 && (round + 1) % c.compactPendingEvery == 0
-    val fPending = Future {
+    val fPending = labeled("pending") {
       if (compact) {
         val live = pending.join(selected.select("key"), Seq("key"), "left_anti")
           .unionByName(newRows)
         import spark.implicits._
-        val fp = Future { TableIO.write(live, pendingDir(c),
+        val fp = labeled("pending:compact") { TableIO.write(live, pendingDir(c),
           s"round:$round:pending:compact") }
-        val fr = Future { TableIO.write(Seq.empty[String].toDF("key"), removedDir(c),
+        val fr = labeled("removed:compact") { TableIO.write(
+          Seq.empty[String].toDF("key"), removedDir(c),
           s"round:$round:removed:compact") }
         (Await.result(fp, Duration.Inf), Await.result(fr, Duration.Inf))
       } else {
         // two independent tables — overlap the writes (the round marker is
         // still the only serialization point), so the pending chain's wall
         // is one append, not two back to back
-        val fp = Future { TableIO.append(newRows, pendingDir(c),
+        val fp = labeled("pending") { TableIO.append(newRows, pendingDir(c),
           s"round:$round:pending", parentId = Some(st.pending)) }
-        val fr = Future { TableIO.append(selected.select("key"), removedDir(c),
+        val fr = labeled("removed") { TableIO.append(
+          selected.select("key"), removedDir(c),
           s"round:$round:removed", Map("rows" -> nSelected),
           parentId = Some(st.removed)) }
         (Await.result(fp, Duration.Inf), Await.result(fr, Duration.Inf))
       }
     }
-    val fSeen = Future {
+    val fSeen = labeled("seen") {
       UrlSeen.append(spark, seenDir(c), newRows.select("key"), c.seenCfg,
         s"round:$round:seen", parentId = Some(st.seen), prevBlooms = bloomCache)
     }
@@ -1050,7 +1065,7 @@ object Frontier {
     // failure the select checkpoint is released; extractCandidates releases
     // its own candidates cache if its materializing count dies.
     val fPrep: Option[Future[Option[Prep]]] =
-      if (prepareNext) Some(Future {
+      if (prepareNext) Some(labeled("prep-next") {
         try {
           val p = selectBatch(c,
             pending.join(selected.select("key"), Seq("key"), "left_anti")
@@ -1140,6 +1155,7 @@ object Frontier {
     // pipelined next selection is already checkpoint-materialized, so
     // releasing the caches its plan was built from cannot invalidate it)
     releaseOwn()
+    spark.sparkContext.setJobDescription(prevDesc)
     (newState, blooms, prepNext)
   }
 

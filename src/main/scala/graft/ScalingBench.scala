@@ -343,14 +343,21 @@ object ScalingBench {
     }
     val sorted = pairs.sortBy(_._3)
     val (mlo, mhi, meff) = sorted(sorted.size / 2) // median-efficiency sample
-    // the metric NAME carries the protocol shape: re-running the 1-core or
-    // 192M convergence protocols must reproduce the exact metric names the
-    // committed multi-record file uses (and graft.Bench greps for) — not
-    // relabel a different shape's record as the committed one
-    val metric = "urls_scheduled_per_sec" +
-      (if (cpe == 1 && nDocs >= 192000000L) "_192m_1core"
-       else if (cpe == 1) "_1core"
-       else "")
+    // the metric NAME carries the protocol shape: re-running a shape must
+    // reproduce the exact metric name the committed multi-record file uses
+    // (and graft.Bench greps for) — not relabel a different shape's record
+    // as the committed one. COMMITTED criterion since r7 (VERDICT r6 task
+    // 1): the convergence-window protocol — >=192M docs, 1-core executor
+    // JVMs, window >> per-round floor, the honest proxy for the 100 TB
+    // regime — carries the bare headline name graft.Bench surfaces as
+    // `scaling_efficiency`. The fixed-96M shapes keep their own names:
+    // `_1core` (supporting: amortized regime at the smaller window) and
+    // `_<docs>m_<cpe>core` (the pre-r7 committed 4-core shape, retained as
+    // a scan-bandwidth regression canary — BENCH/BASELINE.md §1).
+    val metric =
+      if (cpe == 1 && nDocs >= 192000000L) "urls_scheduled_per_sec"
+      else if (cpe == 1) "urls_scheduled_per_sec_1core"
+      else s"urls_scheduled_per_sec_${nDocs / 1000000}m_${cpe}core"
     val json =
       f"""{"metric":"$metric","value":${mhi.urlsPerSec}%.2f,"unit":"urls/sec","protocol":"local-cluster 1x$cpe vs 4x$cpe executor JVMs","executors_lo":1,"executors_hi":4,"cores_per_executor":$cpe,"urls":${mhi.urls},"wall_lo_sec":${mlo.wallSec}%.2f,"wall_hi_sec":${mhi.wallSec}%.2f,"thr_lo":${mlo.urlsPerSec}%.2f,"thr_hi":${mhi.urlsPerSec}%.2f,"candidates":${mhi.candidates},"frontier_dedup_per_sec":${mhi.candPerSec}%.2f,"dedup_thr_lo":${mlo.candPerSec}%.2f,"scaling_efficiency":$meff%.3f,"samples":$samples,"eff_all":[${pairs.map(p => f"${p._3}%.3f").mkString(",")}],"docs":$nDocs,"rounds":$rounds,"adj_codec":"$adjCodec"}"""
     println(json)

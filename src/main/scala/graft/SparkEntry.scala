@@ -642,15 +642,21 @@ object SparkEntry {
     }),
     // H3: multi-crawl merge with stable vertex-id reuse
     "q_merged_ids" -> ((s, dir) => {
-      def crawl(parity: Int) = s.read.parquet(t(dir, "lineitem"))
-        .filter(col("l_partkey") % 2 === parity)
-        .select(concat(lit("s"), col("l_suppkey")).as("from_host"),
+      // BOTH parity crawls derive from ONE cached scan+distinct: a pair's
+      // parity is a pure function of its to_host (p<partkey>), so slicing
+      // the distinct pair set by parity is exactly each crawl's distinct
+      // link set — one lineitem scan and one distinct exchange instead of
+      // two of each (result unchanged — the per-crawl link sets are
+      // identical row sets; oracle hash pins it)
+      val all = s.read.parquet(t(dir, "lineitem"))
+        .select((col("l_partkey") % 2).cast("int").as("__parity"),
+                concat(lit("s"), col("l_suppkey")).as("from_host"),
                 concat(lit("p"), col("l_partkey")).as("to_host"))
         .distinct()
-      // crawl(0) feeds BOTH the first build and the merge — cache it so the
-      // lineitem scan + distinct runs once, not twice (result unchanged)
-      val c0 = crawl(0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      def crawl(parity: Int) =
+        all.filter(col("__parity") === parity).drop("__parity")
+      val c0 = crawl(0)
       val (v1, _) = HostGraph.build(c0)
       val (vm, _) = HostGraph.buildWithExistingIds(
         HostGraph.mergeLinks(Seq(c0, crawl(1))), v1)

@@ -44,20 +44,25 @@ object ConnectedComponents {
     // exactly maxIter must get that extra pass instead of tripping the
     // convergence require on a correct fixpoint
     while (iter <= maxIter && changed > 0) {
-      val neighborMin = sym
+      // one union+agg per iteration instead of join+groupBy+re-join (guide
+      // §2.4): the self-row carries the node's current component twice
+      // (value + `__old`), neighbor messages carry the sender's component
+      // with a null `__old` — min(component) over {self} ∪ neighbors ≡
+      // least(old, nbr_min), and max(__old) recovers the pre-step component
+      // (max ignores nulls; every id has exactly one self-row). Convergence
+      // stays FUSED: `__chg` = the fixpoint moved this node, summed in one
+      // action over the step's own checkpoint.
+      val msgs = sym
         .join(labels, sym("from_id") === labels("id"))
-        .groupBy(col("to_id").as("id"))
-        .agg(min("component").as("nbr_min"))
-      // convergence FUSED into the step (one action per iteration): the old
-      // component rides along as `__chg`, so the separate newLabels ⋈ labels
-      // change-count job disappears; `__chg` is dropped from the carried
-      // state below
+        .select(col("to_id").as("id"), col("component"),
+          lit(null).cast(labels.schema("component").dataType).as("__old"))
       val stepped = labels
-        .join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          (coalesce(col("nbr_min"), col("component")) < col("component"))
-            .cast("long").as("__chg"))
+        .select(col("id"), col("component"), col("component").as("__old"))
+        .unionByName(msgs)
+        .groupBy("id")
+        .agg(min("component").as("component"), max("__old").as("__old"))
+        .select(col("id"), col("component"),
+          (col("component") < col("__old")).cast("long").as("__chg"))
         .localCheckpoint(false)
       changed = stepped.agg(coalesce(sum("__chg"), lit(0L))).first().getLong(0)
       labels = stepped.drop("__chg")

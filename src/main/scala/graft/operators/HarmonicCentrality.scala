@@ -78,20 +78,26 @@ object HarmonicCentrality {
     var changed = 1L
     while (r < maxHops && changed > 0) {
       r += 1
-      // v pulls registers from in-neighbors u for each arc u→v
+      // v pulls registers from in-neighbors u for each arc u→v. The self-row
+      // carries (ball, hc_val) through the register merge — max over
+      // {self's value} ∪ {nulls} recovers it exactly (every id has one
+      // self-row) — so the hop is one union+agg instead of union+agg+re-join
+      // of the full state (guide §2.4: one exchange per hop).
       val pulled = edges
         .join(state.select(col("id"), col("regs")),
               edges("from_id") === col("id"))
-        .select(col("to_id").as("id"), col("regs"))
-      val merged = state.select(col("id"), col("regs")).union(pulled)
-        .groupBy("id").agg(mergeHll(col("regs")).as("regs"))
+        .select(col("to_id").as("id"), col("regs"),
+          lit(null).cast("double").as("ball"), lit(null).cast("double").as("hc_val"))
+      val merged = state.select(col("id"), col("regs"), col("ball"), col("hc_val"))
+        .unionByName(pulled)
+        .groupBy("id").agg(mergeHll(col("regs")).as("regs"),
+          max("ball").as("ball"), max("hc_val").as("hc_val"))
       // convergence FUSED into the hop (same |ball − old_ball| > 1e-9 test):
       // the old ball is already in this plan, so `__chg` rides along and the
       // changed-count is one aggregate over the hop's own checkpoint — no
       // separate newState ⋈ state join job per hop. Checkpoints are lazy:
       // that aggregate materializes the hop in a single job.
-      val newState = state.select(col("id"), col("ball"), col("hc_val"))
-        .join(merged, "id")
+      val newState = merged
         .select(col("id"), col("regs"),
           est(col("regs")).as("new_ball"), col("ball"), col("hc_val"))
         .select(col("id"), col("regs"), col("new_ball").as("ball"),

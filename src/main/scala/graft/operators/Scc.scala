@@ -123,13 +123,21 @@ object Scc {
           var b = 0
           while (b < hopsPerCheck && hops < maxHops) {
             hops += 1; b += 1
-            val prop = cur.join(e, cur("id") === e("from_id"))
-              .groupBy(col("to_id").as("id"))
-              .agg(max("color").as("in_color"))
-            cur = cur.join(prop, Seq("id"), "left_outer")
-              .select(col("id"),
-                greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"),
-                col("__c0"))
+            // one union+agg per hop instead of join+groupBy+join (guide
+            // §2.4): the self-row carries the node's color and batch-start
+            // color, propagation rows carry the sender's color with a null
+            // __c0 — max(color) over {self} ∪ in-neighbors ≡
+            // greatest(old, max in_color), and max(__c0) recovers the
+            // self-row's batch-start color (max ignores nulls; every active
+            // id has exactly one self-row). One exchange per hop, no
+            // per-hop re-join of the full state.
+            val msgs = cur.join(e, cur("id") === e("from_id"))
+              .select(col("to_id").as("id"), col("color"),
+                lit(null).cast(cur.schema("color").dataType).as("__c0"))
+            cur = cur.select(col("id"), col("color"), col("__c0"))
+              .unionByName(msgs)
+              .groupBy("id")
+              .agg(max("color").as("color"), max("__c0").as("__c0"))
           }
           val stepped = cur.localCheckpoint(false)
           changed = stepped

@@ -136,6 +136,52 @@ class ClusteredAdjSpec extends AnyFunSuite {
     assert(tight < n / 40, s"snappy-arm tight scan emitted $tight of $n rows")
   }
 
+  test("coverage guard (r7): few-but-WIDE intervals choose the plain scan; narrow ones still prune") {
+    // a batch passing the interval-COUNT cap can still cover ~the whole key
+    // span (two keys at opposite ends of one giant host cluster): pushing
+    // that interval skips nothing and pays the per-row OR — the write-time
+    // keySpan in the sidecar lets fetch estimate coverage and skip the
+    // predicate (VERDICT r6 item 6)
+    val m = 50000L
+    val oneHost = spark.range(m).select(
+      format_string("com,widehost)/page/%08d", col("id")).as("key"),
+      array(concat(lit("https://t.example/x"), col("id"))).as("outlinks"))
+    val p = Files.createTempDirectory("graft_cadj_cov").toString + "/adj"
+    AdjacencyFetcher.writeClustered(oneHost, p,
+      clusteringOf(byRange = true), rowGroupBytes = 64L << 10)
+    val f = AdjacencyFetcher.openClustered(spark, p, clusteringOf(byRange = true))
+    def keysOf(ids: Long*): DataFrame = ids.toDF("id").select(
+      format_string("com,widehost)/page/%08d", col("id")).as("key"))
+    def pushedIntervalFilters(batch: DataFrame): Boolean = {
+      val df = f.fetch(batch, batch.count())
+      df.collect()
+      var pushed = false
+      PlanScan.foreachFileScan(df.queryExecution.executedPlan) { s =>
+        if (s.metadata.getOrElse("PushedFilters", "")
+              .contains("GreaterThanOrEqual(key")) pushed = true
+      }
+      pushed
+    }
+    // one NARROW interval (adjacent keys): predicate pushed, rows pruned
+    assert(pushedIntervalFilters(keysOf(100L, 101L)),
+      "narrow interval lost its pushed predicate")
+    val tight = scanOutputRows(f.fetch(keysOf(100L, 101L)))
+    assert(tight < m / 10, s"narrow interval scan emitted $tight of $m rows")
+    // one WIDE interval (the two extreme keys of the single host cluster):
+    // same count cap, ~full-span coverage — the guard must take the plain
+    // scan (no pushed interval), and the result stays exact
+    val wide = keysOf(0L, m - 1)
+    assert(!pushedIntervalFilters(wide),
+      "wide interval was pushed — the coverage guard did not fire")
+    assert(fetched(f, wide.withColumn("url", lit("u"))) ==
+      fetched(new AdjacencyFetcher(oneHost), wide.withColumn("url", lit("u"))))
+    // the write-time sidecar actually carries the span the guard consumed
+    val sidecar = Files.readString(
+      new java.io.File(p, "_graft_clustering.json").toPath)
+    assert(sidecar.contains("keyMinB64") && sidecar.contains("keyMaxB64"),
+      s"sidecar lacks the key span: $sidecar")
+  }
+
   for (byRange <- Seq(true, false)) {
     val mode = if (byRange) "range" else "hash"
     val cl = clusteringOf(byRange)

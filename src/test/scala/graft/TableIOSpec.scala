@@ -75,6 +75,40 @@ class TableIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("42"))
   }
 
+  test("two writers on one table: last manifest flip wins, the fork stays readable, rows never merge silently") {
+    // VERDICT r6 item 7 (the spot-instance double-commit the reference
+    // guards with per-split checkpoints): the seam is single-writer by
+    // convention — this pins what happens when the convention breaks. Two
+    // appends pinned to the SAME parent fork the history: each covers
+    // parent + its OWN delta only, the later manifest flip owns "current",
+    // the earlier snapshot remains readable by its pinned id, and the two
+    // deltas are NEVER silently merged into one lineage.
+    val dir = Files.createTempDirectory("tio_2w").toString + "/t"
+    val s0 = TableIO.write(Seq(1L).toDF("v"), dir)
+    val a = TableIO.append(Seq(2L).toDF("v"), dir, "writerA", parentId = Some(s0.id))
+    val b = TableIO.append(Seq(3L).toDF("v"), dir, "writerB", parentId = Some(s0.id))
+    assert(a.parentId == s0.id && b.parentId == s0.id) // both forked from s0
+    assert(rows(dir) == Set(1L, 3L))                   // last writer owns current
+    assert(rows(dir, Some(a.id)) == Set(1L, 2L))       // loser's fork readable
+    assert(!rows(dir).contains(2L))                    // no silent merge
+  }
+
+  test("a crashed attempt's debris under the next snapshot id is replaced, not read") {
+    // the committer-v2 + mode(overwrite) contract (r7): task output moves
+    // into the data dir at task commit, so a crash can leave partial files
+    // under the NEXT snapshot id with no manifest — the retry of that
+    // commit must replace the debris wholesale (readers never saw it: the
+    // manifest rename is the only publication point)
+    val dir = Files.createTempDirectory("tio_debris").toString + "/t"
+    val s0 = TableIO.write(Seq(1L).toDF("v"), dir)
+    val debris = new java.io.File(s"$dir/snap-${s0.id + 1}")
+    assert(debris.mkdirs())
+    Files.writeString(debris.toPath.resolve("part-junk.parquet"), "not parquet")
+    val s1 = TableIO.append(Seq(2L).toDF("v"), dir, "retry", parentId = Some(s0.id))
+    assert(s1.id == s0.id + 1)
+    assert(rows(dir, Some(s1.id)) == Set(1L, 2L)) // debris gone, rows exact
+  }
+
   test("partitionBy layouts round-trip with the partition column intact") {
     val dir = Files.createTempDirectory("tio_part").toString + "/t"
     TableIO.write(Seq((1L, 0), (2L, 1), (3L, 0)).toDF("v", "bucket"), dir,
